@@ -1,0 +1,36 @@
+"""Test harness setup.
+
+Runs the whole suite on a virtual 8-device CPU mesh
+(``xla_force_host_platform_device_count``) so pjit/shard_map collective paths
+are exercised without TPU hardware (SURVEY.md §4 item 4).  Must run before
+jax is imported anywhere.
+"""
+
+import os
+import sys
+
+# Force CPU: the ambient environment points JAX_PLATFORMS at the real TPU
+# tunnel ("axon"), which must stay reserved for bench.py — unit tests run on
+# a virtual 8-device CPU mesh.  The interpreter's sitecustomize imports jax
+# before pytest starts, so the env var alone is latched too late; update the
+# live config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
