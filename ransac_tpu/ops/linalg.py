@@ -1,0 +1,136 @@
+"""Small closed-form linear-algebra kernels for minimal solvers.
+
+TPUs have no general nonsymmetric eigensolver, so the quartic at the core of
+P3P (Grunert) cannot go through a companion matrix as CPU implementations
+do.  Instead: closed-form real-arithmetic cubic (trigonometric/Cardano) and
+quartic (Ferrari) solvers, fully branch-free via ``jnp.where`` and therefore
+vmappable across hypothesis tensors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def solve_cubic_real(a, b, c, d):
+    """Real roots of a x^3 + b x^2 + c x + d = 0 (a assumed nonzero).
+
+    Returns (roots [...,3], valid [...,3]): in the one-real-root case the
+    extra slots repeat the real root with valid=False semantics preserved
+    (all three returned roots are always real numbers; ``valid`` marks
+    distinct genuine roots).
+    """
+    a = jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+    b_, c_, d_ = b / a, c / a, d / a
+    # Depressed: t^3 + p t + q with x = t - b/3.
+    shift = b_ / 3.0
+    p = c_ - b_ * b_ / 3.0
+    q = 2.0 * b_**3 / 27.0 - b_ * c_ / 3.0 + d_
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+
+    # Trig branch (disc <= 0): three real roots.
+    p_neg = jnp.minimum(p, -1e-30)
+    m = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    two_pi_3 = 2.0943951023931953
+    t_trig = jnp.stack(
+        [m * jnp.cos(theta),
+         m * jnp.cos(theta - two_pi_3),
+         m * jnp.cos(theta - 2.0 * two_pi_3)], axis=-1)
+
+    # Cardano branch (disc > 0): one real root.
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    t_card = u + v
+    t_card3 = jnp.stack([t_card, t_card, t_card], axis=-1)
+
+    use_trig = (disc <= 0.0)[..., None]
+    t = jnp.where(use_trig, t_trig, t_card3)
+    roots = t - shift[..., None]
+    valid = jnp.concatenate(
+        [jnp.ones_like(roots[..., :1], bool),
+         jnp.broadcast_to(use_trig, roots[..., :1].shape).repeat(2, -1)],
+        axis=-1)
+    return roots, valid
+
+
+def solve_quartic_real(a, b, c, d, e):
+    """Real roots of a x^4 + b x^3 + c x^2 + d x + e = 0 via Ferrari.
+
+    Returns (roots [...,4], valid [...,4]); invalid slots hold finite
+    placeholder values.  Branch-free: downstream code must gate on
+    ``valid`` (hypothesis masks), never on root values.
+    """
+    a = jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+    b_, c_, d_, e_ = b / a, c / a, d / a, e / a
+    # Depressed quartic y^4 + p y^2 + q y + r, x = y - b/4.
+    shift = b_ / 4.0
+    b2 = b_ * b_
+    p = c_ - 3.0 * b2 / 8.0
+    q = d_ - b_ * c_ / 2.0 + b2 * b_ / 8.0
+    r = e_ - b_ * d_ / 4.0 + b2 * c_ / 16.0 - 3.0 * b2 * b2 / 256.0
+
+    # Ferrari: (y^2 + p/2 + m)^2 = 2m (y - q/(4m))^2 when m solves the
+    # resolvent cubic  m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0.
+    # For q != 0 the resolvent is negative at m=0 with positive leading
+    # coefficient, so its largest real root is strictly positive.
+    m_roots, m_valid = solve_cubic_real(
+        jnp.ones_like(p), p, p * p / 4.0 - r, -q * q / 8.0)
+    m_cand = jnp.where(m_valid, m_roots, -jnp.inf)
+    m = jnp.maximum(jnp.max(m_cand, axis=-1), 1e-12)
+
+    s = jnp.sqrt(2.0 * m)
+    q_term = q / (2.0 * s)
+    base = p / 2.0 + m
+
+    # sign=+1: y^2 - s y + (base + q_term) = 0 -> y = +s/2 +/- sqrt(disc)
+    # sign=-1: y^2 + s y + (base - q_term) = 0 -> y = -s/2 +/- sqrt(disc)
+    def quad(sign):
+        cc = base + sign * q_term
+        disc = s * s / 4.0 - cc
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        return (sign * s / 2.0 + sq, ok), (sign * s / 2.0 - sq, ok)
+
+    (y1, ok1), (y2, ok2) = quad(1.0)
+    (y3, ok3), (y4, ok4) = quad(-1.0)
+    ys = jnp.stack([y1, y2, y3, y4], axis=-1)
+    ok = jnp.stack([ok1, ok2, ok3, ok4], axis=-1)
+    roots = ys - shift[..., None]
+    roots = jnp.where(ok, roots, 0.0)
+
+    # Two Newton polish steps on the original quartic (improves f32 roots).
+    def poly(x):
+        return (x**4 + b_[..., None] * x**3 + c_[..., None] * x**2
+                + d_[..., None] * x + e_[..., None])
+
+    def dpoly(x):
+        return 4.0 * x**3 + 3.0 * b_[..., None] * x**2 \
+            + 2.0 * c_[..., None] * x + d_[..., None]
+
+    for _ in range(2):
+        f = poly(roots)
+        df = dpoly(roots)
+        roots = roots - f / jnp.where(jnp.abs(df) < 1e-20, 1e-20, df)
+    roots = jnp.where(ok, roots, 0.0)
+    return roots, ok
+
+
+def nullspace_last(A: jnp.ndarray) -> jnp.ndarray:
+    """Right-singular vector of the smallest singular value of A [...,m,n]
+    — the DLT workhorse (homography, PnP DLT, 8-point)."""
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[..., -1, :]
+
+
+def solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0):
+    """Solve (A + damping I) x = b for symmetric PSD A via Cholesky."""
+    from jax.scipy.linalg import solve_triangular
+
+    n = A.shape[-1]
+    Ad = A + damping * jnp.eye(n, dtype=A.dtype)
+    L = jnp.linalg.cholesky(Ad)
+    y = solve_triangular(L, b, lower=True)
+    return solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
