@@ -1,0 +1,105 @@
+"""Batched corner detection (Harris) — the two-view front end.
+
+The reference has no feature detector (its correspondences are hand
+annotations in a CSV; its only corner code is the checkerboard finder
+``cv2.findChessboardCorners``, ``/root/reference/testpro.py:270``).  The
+two-view/SfM configs (BASELINE.json configs[2,3]) need one, so this module
+provides a TPU-shaped Harris pipeline: gradients and structure tensors as
+XLA convolutions (MXU-friendly), fixed-size top-K corner selection instead
+of data-dependent thresholding, and window-max NMS via reduce_window — all
+static shapes, batchable over keyframes (the ``data`` mesh axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray       # [K,2] (x, y) pixel coords, subpixel refined
+    score: jnp.ndarray    # [K] Harris response
+    valid: jnp.ndarray    # [K] bool (top-K slots beyond real corners = False)
+
+
+def _conv2(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        img[None, None, :, :], kernel[None, None, :, :],
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+
+
+_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+
+
+def _gauss_kernel(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    g = g / g.sum()
+    return g[:, None] * g[None, :]
+
+
+def harris_response(img: jnp.ndarray, k: float = 0.04,
+                    sigma: float = 1.5) -> jnp.ndarray:
+    """Harris corner response map for a [H,W] float image in [0,1]."""
+    img = img.astype(jnp.float32)
+    gx = _conv2(img, _SOBEL_X)
+    gy = _conv2(img, _SOBEL_Y)
+    g = _gauss_kernel(sigma, radius=max(2, int(2 * sigma)))
+    sxx = _conv2(gx * gx, g)
+    syy = _conv2(gy * gy, g)
+    sxy = _conv2(gx * gy, g)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "nms_radius", "border"))
+def detect_harris(img: jnp.ndarray, max_keypoints: int = 512,
+                  nms_radius: int = 4, k: float = 0.04,
+                  border: int = 8) -> Keypoints:
+    """Top-K Harris corners with window NMS and quadratic subpixel
+    refinement.  Fixed output shape [max_keypoints] with a valid mask —
+    no data-dependent corner counts under jit."""
+    resp = harris_response(img, k)
+    H, W = resp.shape
+    # NMS: keep strict window maxima.
+    win = 2 * nms_radius + 1
+    local_max = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME")
+    is_peak = (resp >= local_max)
+    # Border + positivity mask.
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    in_border = ((yy >= border) & (yy < H - border)
+                 & (xx >= border) & (xx < W - border))
+    score = jnp.where(is_peak & in_border & (resp > 0), resp, -jnp.inf)
+
+    flat = score.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
+    ys = (top_idx // W).astype(jnp.float32)
+    xs = (top_idx % W).astype(jnp.float32)
+    valid = jnp.isfinite(top_scores)
+
+    # Quadratic subpixel refinement on the response surface.
+    def subpix(y, x):
+        yi = y.astype(jnp.int32)
+        xi = x.astype(jnp.int32)
+        c = resp[yi, xi]
+        dx = (resp[yi, xi + 1] - resp[yi, xi - 1]) / 2.0
+        dy = (resp[yi + 1, xi] - resp[yi - 1, xi]) / 2.0
+        dxx = resp[yi, xi + 1] + resp[yi, xi - 1] - 2 * c
+        dyy = resp[yi + 1, xi] + resp[yi - 1, xi] - 2 * c
+        ox = jnp.where(jnp.abs(dxx) > 1e-9, -dx / dxx, 0.0)
+        oy = jnp.where(jnp.abs(dyy) > 1e-9, -dy / dyy, 0.0)
+        return (x + jnp.clip(ox, -0.5, 0.5), y + jnp.clip(oy, -0.5, 0.5))
+
+    xs_r, ys_r = jax.vmap(subpix)(ys, xs)
+    xy = jnp.stack([jnp.where(valid, xs_r, 0.0),
+                    jnp.where(valid, ys_r, 0.0)], axis=-1)
+    return Keypoints(xy=xy, score=jnp.where(valid, top_scores, 0.0),
+                     valid=valid)

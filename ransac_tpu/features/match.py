@@ -1,0 +1,81 @@
+"""Patch descriptors + mutual-nearest-neighbor matching.
+
+Descriptor distance matrices are one big matmul — exactly what the MXU is
+for (SURVEY.md §2.5 "batched feature detect/match").  Fixed shapes
+throughout: K x K score matrix, mutual-NN + ratio test as masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Matches(NamedTuple):
+    idx1: jnp.ndarray    # [M] indices into keypoints 1
+    idx2: jnp.ndarray    # [M] indices into keypoints 2
+    valid: jnp.ndarray   # [M] bool
+
+
+@partial(jax.jit, static_argnames=("patch",))
+def patch_descriptors(img: jnp.ndarray, xy: jnp.ndarray,
+                      valid: jnp.ndarray, patch: int = 8) -> jnp.ndarray:
+    """Normalized intensity patches as descriptors: [K, patch*patch],
+    zero-mean / unit-norm (illumination invariant).  Bilinear sampling at
+    subpixel keypoint locations."""
+    H, W = img.shape
+    r = patch // 2
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-r, r, dtype=jnp.float32),
+        jnp.arange(-r, r, dtype=jnp.float32), indexing="ij")
+
+    def sample(p):
+        x = p[0] + dx
+        y = p[1] + dy
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+        fx = jnp.clip(x - x0, 0.0, 1.0)
+        fy = jnp.clip(y - y0, 0.0, 1.0)
+        v = (img[y0, x0] * (1 - fy) * (1 - fx)
+             + img[y0 + 1, x0] * fy * (1 - fx)
+             + img[y0, x0 + 1] * (1 - fy) * fx
+             + img[y0 + 1, x0 + 1] * fy * fx)
+        return v.reshape(-1)
+
+    d = jax.vmap(sample)(xy)
+    d = d - d.mean(axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.maximum(norm, 1e-6)
+    return d * valid[:, None]
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def mutual_nn_match(d1: jnp.ndarray, d2: jnp.ndarray,
+                    valid1: jnp.ndarray, valid2: jnp.ndarray,
+                    ratio: float = 0.9) -> Matches:
+    """Mutual nearest neighbors with Lowe ratio test.
+
+    Similarity = d1 @ d2.T (one MXU matmul).  Returns fixed-size [K1]
+    match slots (idx1 = arange) with a valid mask.
+    """
+    sim = d1 @ d2.T  # [K1,K2], cosine similarity in [-1,1]
+    neg = -1e9
+    sim = jnp.where(valid1[:, None] & valid2[None, :], sim, neg)
+
+    best2 = jnp.argmax(sim, axis=1)                    # [K1]
+    best_sim = jnp.max(sim, axis=1)
+    # Second best for the ratio test (on distance = 2 - 2*sim).
+    sim_wo_best = sim.at[jnp.arange(sim.shape[0]), best2].set(neg)
+    second_sim = jnp.max(sim_wo_best, axis=1)
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_sim, 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second_sim, 1e-12))
+    pass_ratio = d_best <= ratio * d_second
+
+    best1_of_2 = jnp.argmax(sim, axis=0)               # [K2]
+    mutual = best1_of_2[best2] == jnp.arange(sim.shape[0])
+
+    ok = mutual & pass_ratio & valid1 & (best_sim > neg / 2)
+    return Matches(idx1=jnp.arange(sim.shape[0]), idx2=best2, valid=ok)

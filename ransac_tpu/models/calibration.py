@@ -1,0 +1,155 @@
+"""Camera calibration: Zhang's method on checkerboard homographies.
+
+TPU-native replacement for ``cv2.calibrateCamera`` /
+``findChessboardCorners`` / ``getOptimalNewCameraMatrix`` / ``undistort``
+(``/root/reference/testpro.py:251-287, 952-956``).  Zhang's method is a
+homography stack + closed-form intrinsics + LM — it reuses this framework's
+DLT-homography and LM kernels directly, so calibration runs batched on
+device like everything else.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.ops import homography as hops
+from ransac_tpu.ops import projection as proj
+from ransac_tpu.ops.lm import levenberg_marquardt
+from ransac_tpu.ops.rotation import exp_so3, log_so3, project_to_so3
+
+
+class CalibrationResult(NamedTuple):
+    K: jnp.ndarray            # [3,3]
+    dist: jnp.ndarray         # [5] (k1,k2,p1,p2,k3)
+    rvecs: jnp.ndarray        # [V,3]
+    tvecs: jnp.ndarray        # [V,3]
+    rms: jnp.ndarray          # scalar reprojection RMS (px)
+
+
+def checkerboard_object_points(cols: int, rows: int,
+                               square: float = 1.0) -> np.ndarray:
+    """Planar (z=0) grid like cv2's objp (testpro.py:256-258)."""
+    g = np.mgrid[0:cols, 0:rows].T.reshape(-1, 2).astype(np.float64)
+    return np.concatenate([g * square, np.zeros((g.shape[0], 1))], axis=1)
+
+
+def _vij(H, i, j):
+    return jnp.stack([
+        H[0, i] * H[0, j],
+        H[0, i] * H[1, j] + H[1, i] * H[0, j],
+        H[1, i] * H[1, j],
+        H[2, i] * H[0, j] + H[0, i] * H[2, j],
+        H[2, i] * H[1, j] + H[1, i] * H[2, j],
+        H[2, i] * H[2, j],
+    ])
+
+
+def intrinsics_from_homographies(Hs: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form Zhang: stack the v_ij constraints from >=3 view
+    homographies, solve for the image of the absolute conic, recover K."""
+    rows = []
+    for k in range(Hs.shape[0]):
+        H = Hs[k]
+        rows.append(_vij(H, 0, 1))
+        rows.append(_vij(H, 0, 0) - _vij(H, 1, 1))
+    V = jnp.stack(rows)
+    _, _, Vt = jnp.linalg.svd(V, full_matrices=True)
+    b = Vt[-1]
+    B11, B12, B22, B13, B23, B33 = b
+    v0 = (B12 * B13 - B11 * B23) / (B11 * B22 - B12 * B12)
+    lam = B33 - (B13 * B13 + v0 * (B12 * B13 - B11 * B23)) / B11
+    alpha = jnp.sqrt(jnp.abs(lam / B11))
+    beta = jnp.sqrt(jnp.abs(lam * B11 / (B11 * B22 - B12 * B12)))
+    gamma = -B12 * alpha * alpha * beta / lam
+    u0 = gamma * v0 / beta - B13 * alpha * alpha / lam
+    return jnp.array([[alpha, gamma, u0], [0.0, beta, v0], [0.0, 0.0, 1.0]],
+                     dtype=Hs.dtype)
+
+
+def extrinsics_from_homography(K: jnp.ndarray, H: jnp.ndarray):
+    """Per-view (R, t) from H = K [r1 r2 t] (plane z=0)."""
+    A = jnp.linalg.solve(K, H)
+    lam = 1.0 / jnp.maximum(jnp.linalg.norm(A[:, 0]), 1e-12)
+    # Sign: t_z > 0 (board in front of camera).
+    lam = lam * jnp.where(A[2, 2] < 0, -1.0, 1.0)
+    r1 = A[:, 0] * lam
+    r2 = A[:, 1] * lam
+    r3 = jnp.cross(r1, r2)
+    R = project_to_so3(jnp.stack([r1, r2, r3], axis=1))
+    t = A[:, 2] * lam
+    return R, t
+
+
+def calibrate_camera(
+    object_points: jnp.ndarray,  # [P,3] planar board points (z=0)
+    image_points: jnp.ndarray,   # [V,P,2] detected corners per view
+    refine_iters: int = 40,
+) -> CalibrationResult:
+    """Full Zhang pipeline: per-view DLT homography -> closed-form K ->
+    per-view extrinsics -> joint LM over (K, dist, poses) on reprojection
+    error — cv2.calibrateCamera equivalent."""
+    V = image_points.shape[0]
+    board2d = object_points[:, :2]
+
+    Hs = jax.vmap(lambda pts: hops.dlt_homography(board2d, pts))(image_points)
+    K0 = intrinsics_from_homographies(Hs)
+    Rs, ts = jax.vmap(lambda H: extrinsics_from_homography(K0, H))(Hs)
+    rvecs0 = jax.vmap(log_so3)(Rs)
+
+    # Joint LM parameter vector: [fx, fy, cx, cy, k1, k2, p1, p2, k3,
+    # rvecs (3V), tvecs (3V)].
+    x0 = jnp.concatenate([
+        jnp.stack([K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]]),
+        jnp.zeros(5, K0.dtype),
+        rvecs0.reshape(-1), ts.reshape(-1),
+    ])
+
+    def unpack(x):
+        fx, fy, cx, cy = x[0], x[1], x[2], x[3]
+        K = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]],
+                      dtype=x.dtype)
+        dist = x[4:9]
+        rv = x[9:9 + 3 * V].reshape(V, 3)
+        tv = x[9 + 3 * V:].reshape(V, 3)
+        return K, dist, rv, tv
+
+    def residuals(x):
+        K, dist, rv, tv = unpack(x)
+        R = jax.vmap(exp_so3)(rv)
+        pix, _ = jax.vmap(
+            lambda R1, t1: proj.project_points(object_points, R1, t1, K, dist)
+        )(R, tv)
+        return (pix - image_points).reshape(-1)
+
+    res = levenberg_marquardt(residuals, x0, max_iters=refine_iters)
+    K, dist, rv, tv = unpack(res.x)
+    # RMS over points (each point contributes a 2-vector residual).
+    n_pts = image_points.size / 2
+    rms = jnp.sqrt(jnp.sum(residuals(res.x) ** 2) / n_pts)
+    return CalibrationResult(K=K, dist=dist, rvecs=rv, tvecs=tv, rms=rms)
+
+
+def undistort_points(pixels: jnp.ndarray, K: jnp.ndarray,
+                     dist: jnp.ndarray) -> jnp.ndarray:
+    """cv2.undistortPoints equivalent (returns pixel coords under K)."""
+    xn = proj.normalize_pixels(pixels, K)
+    xu, yu = proj.undistort_normalized(xn[..., 0], xn[..., 1], dist)
+    u = K[0, 0] * xu + K[0, 2]
+    v = K[1, 1] * yu + K[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def undistort_image_map(width: int, height: int, K: jnp.ndarray,
+                        dist: jnp.ndarray):
+    """Sampling map for image undistortion (cv2.undistort's remap): for
+    each output pixel, the source pixel to sample."""
+    u, v = jnp.meshgrid(jnp.arange(width, dtype=K.dtype),
+                        jnp.arange(height, dtype=K.dtype))
+    xn = (u - K[0, 2]) / K[0, 0]
+    yn = (v - K[1, 2]) / K[1, 1]
+    xd, yd = proj.distort(xn, yn, dist)
+    return K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]

@@ -86,6 +86,57 @@ def dlt_homography(
     return H / s
 
 
+def dlt_homography_minimal(src: jnp.ndarray, dst: jnp.ndarray):
+    """Exact 4-point homography via normalized 8x8 solve (h22=1).
+
+    The hot-path minimal solver: ``solve_unrolled`` keeps the whole
+    hypothesis batch in VPU registers (measured ~200x faster than XLA's
+    batched-SVD nullspace on TPU; the SVD path remains in
+    ``dlt_homography`` for overdetermined refits where volume is low).
+    h22=0 configurations (centroid mapped to infinity) surface as bad
+    pivots -> ok=False, exactly the hypotheses RANSAC should discard.
+
+    src/dst [...,4,2].  Returns (H [...,3,3], ok [...]).
+    """
+    from ransac_tpu.ops.linalg import solve_unrolled
+
+    Ts = normalization_transform(src)
+    Td = normalization_transform(dst)
+    ones = jnp.ones_like(src[..., :1])
+    sh = jnp.concatenate([src, ones], -1) @ jnp.swapaxes(Ts, -1, -2)
+    dh = jnp.concatenate([dst, ones], -1) @ jnp.swapaxes(Td, -1, -2)
+    x, y = sh[..., 0], sh[..., 1]
+    u, v = dh[..., 0], dh[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], -1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], -1)
+    A = jnp.concatenate([r1, r2], axis=-2)                 # [...,8,8]
+    b = jnp.concatenate([u, v], axis=-1)                   # [...,8]
+    h8, ok = solve_unrolled(A, b)
+    Hn = jnp.concatenate([h8, jnp.ones_like(h8[..., :1])], -1)
+    Hn = Hn.reshape(*Hn.shape[:-1], 3, 3)
+    # Denormalize with the closed-form similarity inverse:
+    # Td = [[s,0,-s mx],[0,s,-s my],[0,0,1]] -> Td^-1 = [[1/s,0,mx],...].
+    s = Td[..., 0, 0]
+    mx = -Td[..., 0, 2] / s
+    my = -Td[..., 1, 2] / s
+    inv_s = 1.0 / s
+    zeros = jnp.zeros_like(s)
+    ones_ = jnp.ones_like(s)
+    Td_inv = jnp.stack([
+        jnp.stack([inv_s, zeros, mx], -1),
+        jnp.stack([zeros, inv_s, my], -1),
+        jnp.stack([zeros, zeros, ones_], -1),
+    ], axis=-2)
+    H = Td_inv @ Hn @ Ts
+    h22 = H[..., 2:3, 2:3]
+    scale = jnp.where(jnp.abs(h22) < 1e-12, 1.0, h22)
+    H = H / scale
+    ok = ok & jnp.all(jnp.isfinite(H), axis=(-1, -2))
+    return H, ok
+
+
 def transfer_errors(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray):
     """Forward transfer distance per point — OpenCV's RANSAC residual for
     findHomography."""

@@ -52,6 +52,37 @@ def absolute_orientation(
     return R, t
 
 
+def triad_orientation(Xw: jnp.ndarray, Xc: jnp.ndarray):
+    """Exact 3-point absolute orientation via triangle frames.
+
+    For congruent point triples (the P3P back-substitution case) this is
+    closed-form and eigensolver-free: build an orthonormal triad from the
+    triangle in each coordinate system and compose.  Batched pure-VPU math
+    — the hot-path replacement for SVD-based Kabsch, which XLA executes as
+    a serial per-matrix loop on TPU.
+
+    Xw/Xc [...,3,3] (rows = points).  Returns (R, t): Xc ~ R @ Xw + t.
+    """
+
+    def triad(P):
+        u = P[..., 1, :] - P[..., 0, :]
+        v = P[..., 2, :] - P[..., 0, :]
+        e1 = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+        v_perp = v - jnp.sum(v * e1, -1, keepdims=True) * e1
+        e2 = v_perp / jnp.maximum(
+            jnp.linalg.norm(v_perp, axis=-1, keepdims=True), 1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns
+
+    Bw = triad(Xw)
+    Bc = triad(Xc)
+    R = Bc @ jnp.swapaxes(Bw, -1, -2)
+    cw = Xw.mean(-2)
+    cc = Xc.mean(-2)
+    t = cc - jnp.einsum("...ij,...j->...i", R, cw)
+    return R, t
+
+
 def p3p_grunert(Xw: jnp.ndarray, pixels_norm: jnp.ndarray):
     """Grunert's P3P on one minimal sample.
 
@@ -144,7 +175,7 @@ def p3p_grunert(Xw: jnp.ndarray, pixels_norm: jnp.ndarray):
         s3[..., None] * f3[..., None, :],
     ], axis=-2)
     Xw4 = jnp.broadcast_to(Xw[..., None, :, :], Xc.shape)
-    R, t = absolute_orientation(Xw4, Xc)
+    R, t = triad_orientation(Xw4, Xc)
     return R, t, valid
 
 

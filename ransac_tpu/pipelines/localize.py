@@ -1,0 +1,178 @@
+"""Single-image candidate-camera localization pipeline.
+
+The reference's primary flow (``/root/reference/main_v1.py:836-930``):
+
+  458-candidate Python loop, one OpenCV homography-RANSAC per candidate
+  (~6.8 ms each, debug.log) -> argmin err2 -> PnP-RANSAC (5000 iters) ->
+  LM refine -> camera origin.
+
+Here the whole candidate search is ONE jitted launch: the east-axis plane
+projection, the C(N,4)-exhaustive homography hypothesis tensor, fused
+inlier scoring, per-candidate refit and the reference's err1/err2 scoring
+(SURVEY.md §2.4 semantics, incl. the outlier penalty err2 += outliers *
+ransacbound, main_v1.py:419) are vmapped over all candidates
+(458 x 715 hypotheses per launch), followed by a vmapped-P3P PnP-RANSAC on
+the winning correspondences.  Geometry runs scene-centered f32 on device;
+absolute UTM in/out stays f64 on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.io.tables import Scene
+from ransac_tpu.models import ransac as ransac_mod
+from ransac_tpu.ops import homography as hops
+from ransac_tpu.ops import projection as proj
+from ransac_tpu.ops.lm import refine_homography
+from ransac_tpu.utils.config import LocalizeConfig, RansacConfig
+from ransac_tpu.utils.logging import get_logger, metrics, timed
+
+log = get_logger("localize")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def score_candidates(
+    pixels: jnp.ndarray,      # [N,2]
+    pos3d: jnp.ndarray,       # [N,3] centered
+    point_mask: jnp.ndarray,  # [N]
+    cam_locs: jnp.ndarray,    # [C,3] centered
+    grid_codes: jnp.ndarray,  # [C]
+    cfg: LocalizeConfig,
+    key: jax.Array,
+):
+    """Score every candidate camera location in one launch.
+
+    Returns dict with err1 [C], err2 [C] (reference §2.4 semantics),
+    H [C,3,3] (plane->pixel, the OpenCV-convention M), inliers [C,N],
+    counts [C].  Candidates with grid_code < cfg.grid_code_min score 0
+    exactly like main_v1.py:274-282.
+    """
+    rcfg = cfg.ransac
+
+    def per_candidate(loc, key):
+        pos2, d_east = proj.east_axis_plane_projection(pos3d, loc)
+        res = ransac_mod.ransac_homography(pos2, pixels, point_mask, rcfg, key)
+        H = res.model  # plane -> pixels
+        inl = res.inlier_mask & point_mask.astype(bool)
+        inl_f = inl.astype(pixels.dtype)
+        # err1: pixel-space distance over inliers (main_v1.py:332-347).
+        pred_pix = hops.apply_h(H, pos2)
+        e1 = jnp.linalg.norm(pred_pix - pixels, axis=-1)
+        err1 = (e1 * inl_f).sum()
+        # err2: plane-space distance over inliers + outlier penalty
+        # (main_v1.py:348,419).
+        Hinv = jnp.linalg.inv(H)
+        pred_plane = hops.apply_h(Hinv, pixels)
+        e2 = jnp.linalg.norm(pred_plane - pos2, axis=-1)
+        err2 = (e2 * inl_f).sum()
+        n_good = point_mask.sum()
+        n_out = n_good - inl_f.sum()
+        err2 = err2 + n_out * rcfg.threshold
+        return err1, err2, H, inl, res.num_inliers
+
+    keys = jax.random.split(key, cam_locs.shape[0])
+    err1, err2, H, inliers, counts = jax.vmap(per_candidate)(cam_locs, keys)
+    gate = grid_codes >= cfg.grid_code_min
+    err1 = jnp.where(gate, err1, 0.0)
+    err2 = jnp.where(gate, err2, 0.0)
+    # Reference argmin semantics (main_v1.py:863-866): zeros -> 1e6.
+    err2_sel = jnp.where(err2 == 0.0, 1e6, err2)
+    best = jnp.argmin(err2_sel)
+    return {
+        "err1": err1, "err2": err2, "H": H, "inliers": inliers,
+        "counts": counts, "best": best, "best_err2": err2_sel[best],
+    }
+
+
+@dataclass
+class LocalizationResult:
+    best_index: int
+    best_location_utm: np.ndarray     # [3] f64
+    err1: np.ndarray                  # [C]
+    err2: np.ndarray                  # [C]
+    homographies: np.ndarray          # [C,3,3]
+    inlier_masks: np.ndarray          # [C,N]
+    K: np.ndarray                     # [3,3]
+    R: np.ndarray | None              # [3,3] world(centered UTM)->camera
+    t: np.ndarray | None              # [3] (centered frame)
+    camera_origin_utm: np.ndarray | None  # [3] f64
+    pnp_inliers: np.ndarray | None    # [N] bool
+    scores_rows: list                 # per-candidate CSV rows (ref layout)
+
+
+def localize(
+    scene: Scene,
+    image_size: tuple[int, int],
+    cfg: LocalizeConfig = LocalizeConfig(),
+    seed: int = 0,
+) -> LocalizationResult:
+    """Full localization: candidate search + PnP pose (reference
+    main_v1.py:836-930 flow, minus DEM/raycast which live in
+    pipelines.raycast)."""
+    width, height = image_size
+    key = jax.random.key(seed)
+    k_search, k_pnp = jax.random.split(key)
+
+    with timed("localize.search"):
+        out = score_candidates(
+            jnp.asarray(scene.pixels), jnp.asarray(scene.pos3d),
+            jnp.asarray(scene.point_mask), jnp.asarray(scene.cam_locs),
+            jnp.asarray(scene.grid_codes), cfg, k_search)
+        out = jax.tree.map(np.asarray, out)
+    best = int(out["best"])
+    best_loc = scene.frame.uncenter(scene.cam_locs[best])
+    log.info("best candidate %d grid=%d err2=%.3f utm=%s", best,
+             int(scene.grid_codes[best]), float(out["err2"][best]), best_loc)
+    metrics.record("localize.best_index", best)
+    metrics.record("localize.best_err2", float(out["err2"][best]))
+
+    # Reference CSV rows (main_v1.py:283): [i+1, err1, err2, grid, E, N, z].
+    scores_rows = []
+    cam_utm = scene.cameras.pos3d_utm
+    for i in range(len(scene.grid_codes)):
+        scores_rows.append([
+            i + 1, float(out["err1"][i]), float(out["err2"][i]),
+            int(scene.grid_codes[i]), cam_utm[i, 0], cam_utm[i, 1],
+            cam_utm[i, 2],
+        ])
+
+    K = np.asarray(proj.intrinsics_from_physical(
+        cfg.intrinsics.focal_length_mm, cfg.intrinsics.sensor_width_mm,
+        cfg.intrinsics.sensor_height_mm, width, height,
+        cfg.intrinsics.cx, cfg.intrinsics.cy))
+
+    # PnP on annotated correspondences (centered frame).
+    R = t = origin_utm = pnp_inl = None
+    with timed("localize.pnp"):
+        focal = float(K[0, 0] + K[1, 1]) / 2.0
+        res = ransac_mod.ransac_pnp(
+            jnp.asarray(scene.pos3d), jnp.asarray(scene.pixels),
+            jnp.asarray(K, dtype=jnp.float32), jnp.asarray(scene.point_mask),
+            cfg.pnp_ransac, k_pnp, focal_px=focal)
+        n_inl = int(res.num_inliers)
+        if n_inl >= cfg.min_pnp_inliers:
+            Rj, tj = ransac_mod.pnp_pose_from_result(res)
+            R = np.asarray(Rj, dtype=np.float64)
+            t = np.asarray(tj, dtype=np.float64)
+            origin_local = -R.T @ t
+            origin_utm = scene.frame.uncenter(origin_local)
+            pnp_inl = np.asarray(res.inlier_mask)
+            metrics.record("localize.pnp_inliers", n_inl)
+            log.info("PnP pose: %d inliers, origin %s", n_inl, origin_utm)
+        else:
+            # main_v1.py:504-506 guard.
+            log.warning("PnP RANSAC failed or insufficient inliers (%d)", n_inl)
+
+    return LocalizationResult(
+        best_index=best, best_location_utm=best_loc,
+        err1=out["err1"], err2=out["err2"], homographies=out["H"],
+        inlier_masks=out["inliers"], K=K, R=R, t=t,
+        camera_origin_utm=origin_utm, pnp_inliers=pnp_inl,
+        scores_rows=scores_rows)

@@ -25,13 +25,48 @@ def sample_without_replacement(
 ) -> jnp.ndarray:
     """[S, k] index tensor of uniform k-subsets of the valid points.
 
-    Uses the top-k-of-uniforms trick (first k of a random permutation), which
-    is branch-free, shape-static, and vmappable — the TPU-native replacement
-    for OpenCV's sequential rejection sampler.  Masked-out points get -inf
-    priority so they are never chosen (requires >= sample_size valid points).
+    Branch-free, shape-static, vmappable — the TPU-native replacement for
+    OpenCV's sequential rejection sampler.  Two paths:
+
+    - no mask and small k: sort-free Fisher-Yates index adjustment — draw
+      r_j uniform over a shrinking range and shift past already-chosen
+      indices; pure VPU compares, no top_k/sort over the hypothesis tensor.
+    - masked points: top-k-of-uniforms (first k of a random permutation)
+      with -inf priority on masked points (requires >= k valid points).
     """
+    if point_mask is None and sample_size <= 8:
+        return _fisher_yates_indices(key, num_samples, sample_size, num_points)
     u = jax.random.uniform(key, (num_samples, num_points))
     if point_mask is not None:
         u = jnp.where(point_mask[None, :] > 0, u, -jnp.inf)
     _, idx = jax.lax.top_k(u, sample_size)
     return idx
+
+
+def _fisher_yates_indices(key, num_samples: int, k: int, n: int):
+    draws = [
+        jax.random.randint(kj, (num_samples,), 0, n - j)
+        for j, kj in enumerate(jax.random.split(key, k))
+    ]
+    chosen: list[jnp.ndarray] = []
+    for j, r in enumerate(draws):
+        # Shift r past each previously chosen index, in ascending order of
+        # those indices: equivalent to sampling from the complement.
+        prev = chosen
+        # Insertion-sort the (tiny) list of previous picks per row.
+        sorted_prev: list[jnp.ndarray] = []
+        for p in prev:
+            inserted = p
+            out = []
+            for s in sorted_prev:
+                lo = jnp.minimum(s, inserted)
+                hi = jnp.maximum(s, inserted)
+                out.append(lo)
+                inserted = hi
+            out.append(inserted)
+            sorted_prev = out
+        idx = r
+        for s in sorted_prev:
+            idx = idx + (idx >= s)
+        chosen.append(idx)
+    return jnp.stack(chosen, axis=1)

@@ -1,0 +1,239 @@
+"""DEM ray-cast inversion: analytic intersections, correction-mode
+semantics, boundary batch conversion, exports."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.io import dem as demio
+from ransac_tpu.io.export import (save_boundary_shapefiles, write_boundary_csv,
+                                  write_geojson)
+from ransac_tpu.ops import rotation
+from ransac_tpu.ops.geodesy import SceneFrame
+from ransac_tpu.pipelines import raycast
+from ransac_tpu.utils.config import RaycastConfig
+
+
+def flat_frame():
+    return SceneFrame(anchor=np.array([739000.0, 2888000.0, 0.0]))
+
+
+def camera_looking_down():
+    """Camera 300 m up, looking 45 deg downward toward +x (east)."""
+    K = np.array([[1000.0, 0, 500.0], [0, 1000.0, 500.0], [0, 0, 1.0]])
+    # World->camera: camera z-axis points along (1,0,-1)/sqrt2 in world.
+    # Build R s.t. R @ world_dir = [0,0,1] for the optical axis.
+    fwd = np.array([1.0, 0.0, -1.0]) / np.sqrt(2)
+    up_hint = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up_hint); right /= np.linalg.norm(right)
+    down = np.cross(fwd, right) * -1.0
+    Rwc = np.stack([right, -down, fwd])  # rows = camera axes in world
+    origin = np.array([0.0, 0.0, 300.0])
+    return K, Rwc, origin
+
+
+def test_march_hits_flat_plane_analytically():
+    frame = flat_frame()
+    dem = demio.synthetic_dem(frame, extent_m=3000, spacing_m=5.0,
+                              terrain_fn=lambda X, Y: np.zeros_like(X))
+    K, R, origin = camera_looking_down()
+    inv = raycast.GeoInverter(
+        K=K, R=R, ray_origin=origin, dem=dem,
+        control_pixels=np.array([[500.0, 500.0], [400, 400], [600, 600]]),
+        control_pos3d=np.array([[300.0, 0, 0], [250, 40, 0], [350, -40, 0]]),
+        cfg=RaycastConfig(correction="none", min_hit_step=0, step_m=1.0))
+    # Center pixel: ray along (1,0,-1)/sqrt2 from (0,0,300) hits z=0 at
+    # x=300.
+    utm, hit = inv.pixel_to_geo(np.array([[500.0, 500.0]]))
+    assert hit[0]
+    local = utm[0] - frame.anchor
+    assert abs(local[0] - 300.0) < 2.0, local
+    assert abs(local[1]) < 1.0
+    assert abs(local[2]) < 2.0
+
+
+def test_march_min_hit_step_warmup():
+    """Reference quirk (main_v1.py:650): with min_hit_step=150 a ray that
+    would hit at step < 150 keeps going."""
+    frame = flat_frame()
+    dem = demio.synthetic_dem(frame, extent_m=3000, spacing_m=5.0,
+                              terrain_fn=lambda X, Y: np.zeros_like(X))
+    K, R, origin = camera_looking_down()
+    origin_low = np.array([0.0, 0.0, 50.0])  # hits at ~70 steps
+    base = dict(K=K, R=R, ray_origin=origin_low, dem=dem,
+                control_pixels=np.array([[500.0, 500.0]]),
+                control_pos3d=np.array([[300.0, 0, 0.0]]))
+    inv0 = raycast.GeoInverter(
+        cfg=RaycastConfig(correction="none", min_hit_step=0), **base)
+    inv150 = raycast.GeoInverter(
+        cfg=RaycastConfig(correction="none", min_hit_step=150), **base)
+    utm0, hit0 = inv0.pixel_to_geo(np.array([[500.0, 500.0]]))
+    utm150, hit150 = inv150.pixel_to_geo(np.array([[500.0, 500.0]]))
+    assert hit0[0]
+    x0 = utm0[0, 0] - frame.anchor[0]
+    assert abs(x0 - 50.0) < 2.0
+    if hit150[0]:  # warmup forces the hit to land at >= 150 steps
+        x150 = utm150[0, 0] - frame.anchor[0]
+        assert x150 >= 100.0
+
+
+def test_batched_march_many_rays():
+    frame = flat_frame()
+    dem = demio.synthetic_dem(frame, extent_m=3000, spacing_m=5.0,
+                              terrain_fn=lambda X, Y: np.zeros_like(X))
+    K, R, origin = camera_looking_down()
+    inv = raycast.GeoInverter(
+        K=K, R=R, ray_origin=origin, dem=dem,
+        control_pixels=np.array([[500.0, 500.0]]),
+        control_pos3d=np.array([[300.0, 0, 0.0]]),
+        cfg=RaycastConfig(correction="none", min_hit_step=0))
+    pix = np.stack(np.meshgrid(np.linspace(300, 700, 9),
+                               np.linspace(450, 650, 9)), -1).reshape(-1, 2)
+    utm, hit = inv.pixel_to_geo(pix)
+    assert hit.mean() > 0.9
+    # Every hit must lie on the terrain surface (z ~ 0) within step size.
+    z = utm[hit][:, 2] - frame.anchor[2]
+    assert np.abs(z).max() < 2.0
+
+
+def test_weights_semantics():
+    q = jnp.asarray([[10.0, 10.0]])
+    cps = jnp.asarray([[10.0, 12.0], [100.0, 100.0], [10.0, 10.0 + 0.5]])
+    w = np.asarray(raycast.calculate_weights(q, cps, 1.0, 10.0))[0]
+    # Nearest (idx 2, dist 0.5) -> 1/0.5 capped at 1.0, then x10.
+    assert abs(w[2] - 10.0) < 1e-5
+    assert abs(w[0] - 0.5) < 1e-5   # 1/2
+    assert w[1] < 0.01               # far point tiny weight
+
+
+def test_factors_identity_for_perfect_geometry():
+    """With exact K, R, origin and control points ON their rays, the
+    componentwise factors are ~1 and the corrected ray equals the raw
+    ray."""
+    K, R, origin = camera_looking_down()
+    # Off-axis pixels: the center pixel's ray has a zero y-component, whose
+    # ideal/computed ratio is 0/0 — the |f|>2 filter rejects it (the
+    # reference would divide by ~0 there, main_v1.py:612).
+    pix = np.array([[470.0, 530.0], [480.0, 520.0], [530.0, 470.0]])
+    from ransac_tpu.ops import projection as proj
+
+    rays = np.asarray(proj.pixel_to_ray(
+        jnp.asarray(pix, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.asarray(R, jnp.float32)))
+    cps = origin + rays * np.array([[400.0], [380.0], [420.0]])
+    factors, valid = raycast.compute_optimization_factors(
+        jnp.asarray(pix, jnp.float32), jnp.asarray(cps, jnp.float32),
+        jnp.asarray(K, jnp.float32), jnp.asarray(R, jnp.float32),
+        jnp.asarray(origin, jnp.float32))
+    assert np.asarray(valid).all()
+    np.testing.assert_allclose(np.asarray(factors), 1.0, atol=1e-3)
+
+
+def test_lsq_scales_mode_matches_weighted_on_clean_data():
+    frame = flat_frame()
+    dem = demio.synthetic_dem(frame, extent_m=3000, spacing_m=5.0,
+                              terrain_fn=lambda X, Y: np.zeros_like(X))
+    K, R, origin = camera_looking_down()
+    from ransac_tpu.ops import projection as proj
+
+    pix_cp = np.array([[500.0, 500.0], [450, 540], [560, 460], [520, 530]])
+    rays = np.asarray(proj.pixel_to_ray(
+        jnp.asarray(pix_cp, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.asarray(R, jnp.float32)))
+    cps = origin + rays * 400.0
+    common = dict(K=K, R=R, ray_origin=origin, dem=dem,
+                  control_pixels=pix_cp, control_pos3d=cps)
+    inv_w = raycast.GeoInverter(cfg=RaycastConfig(
+        correction="weighted_factors", min_hit_step=0), **common)
+    inv_s = raycast.GeoInverter(cfg=RaycastConfig(
+        correction="lsq_scales", min_hit_step=0), **common)
+    q = np.array([[505.0, 512.0]])
+    utm_w, hw = inv_w.pixel_to_geo(q)
+    utm_s, hs = inv_s.pixel_to_geo(q)
+    assert hw[0] and hs[0]
+    assert np.linalg.norm(utm_w - utm_s) < 3.0
+
+
+def test_boundary_conversion_and_exports(tmp_path):
+    frame = flat_frame()
+    dem = demio.synthetic_dem(frame, extent_m=3000, spacing_m=5.0,
+                              terrain_fn=lambda X, Y: np.zeros_like(X))
+    K, R, origin = camera_looking_down()
+    inv = raycast.GeoInverter(
+        K=K, R=R, ray_origin=origin, dem=dem,
+        control_pixels=np.array([[500.0, 500.0]]),
+        control_pos3d=np.array([[300.0, 0, 0.0]]),
+        cfg=RaycastConfig(correction="none", min_hit_step=0))
+    json_data = {
+        "info": {"name": "synthetic"},
+        "objects": [{
+            "group": 1, "category": "__background__",
+            "segmentation": [[400, 480], [600, 480], [600, 560], [400, 560]],
+        }],
+    }
+    geo, pix = inv.convert_boundary(json_data)
+    key = (1, "background")
+    assert key in geo and len(geo[key]) == 4
+
+    csv_path = tmp_path / "boundary_points_geo.csv"
+    write_boundary_csv(str(csv_path), geo, pix)
+    lines = open(csv_path).read().strip().splitlines()
+    assert len(lines) == 5 and lines[0].startswith("category,group")
+
+    gj = tmp_path / "boundary.geojson"
+    write_geojson(str(gj), geo)
+    doc = json.load(open(gj))
+    assert doc["features"][0]["geometry"]["type"] == "Polygon"
+
+    shp_files = save_boundary_shapefiles(geo, str(tmp_path / "shp"), "synthetic")
+    assert len(shp_files) == 1
+    import os
+
+    base = shp_files[0][:-4]
+    for ext in (".shp", ".shx", ".dbf", ".prj"):
+        assert os.path.exists(base + ext), ext
+
+
+def test_geotiff_roundtrip(tmp_path):
+    """load_geotiff reads back a PIL-written GeoTIFF with geo tags."""
+    from PIL import Image, TiffImagePlugin
+
+    data = np.linspace(0, 100, 50 * 40).reshape(50, 40).astype(np.float32)
+    path = str(tmp_path / "dem.tif")
+    info = TiffImagePlugin.ImageFileDirectory_v2()
+    info[33550] = (0.001, 0.001, 0.0)          # ModelPixelScale
+    info[33922] = (0.0, 0.0, 0.0, 119.3, 26.12, 0.0)  # ModelTiepoint
+    Image.fromarray(data).save(path, tiffinfo=info)
+    dem = demio.load_geotiff(path)
+    assert dem.data.shape == (50, 40)
+    assert abs(dem.lon[0] - 119.3) < 1e-9
+    # Row 0 is the northernmost (lat0), stored ascending after load.
+    assert dem.lat[-1] == max(dem.lat)
+    e_rng = dem.utm_x_range
+    assert 7.2e5 < e_rng[0] < 7.6e5
+
+
+def test_utm_resample_consistency():
+    """Resampled UTM grid agrees with direct lon/lat interpolation."""
+    frame = SceneFrame(anchor=np.array([739000.0, 2888500.0, 0.0]))
+    lon = np.linspace(119.37, 119.41, 80)
+    lat = np.linspace(26.08, 26.12, 90)
+    LON, LAT = np.meshgrid(lon, lat)
+    z = (np.sin(LON * 200) * 50 + np.cos(LAT * 300) * 30 + 700).astype(np.float32)
+    dem_ll = demio.from_arrays(z, lon, lat)
+    dem_utm = demio.resample_to_utm(dem_ll, frame, spacing_m=20.0)
+    # Compare at a few interior points.
+    from ransac_tpu.ops.geodesy import wgs84_to_utm
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        lo = rng.uniform(119.38, 119.40)
+        la = rng.uniform(26.09, 26.11)
+        e, n = wgs84_to_utm(lo, la)
+        z_ll = float(dem_ll.interpolate(la, lo))
+        z_utm = float(demio.bilinear_sample(
+            jnp.asarray(dem_utm.data), dem_utm.x0, dem_utm.y0,
+            dem_utm.dx, dem_utm.dy,
+            jnp.float32(e - frame.anchor[0]), jnp.float32(n - frame.anchor[1])))
+        assert abs(z_ll - z_utm) < 3.0, (z_ll, z_utm)
