@@ -1,0 +1,200 @@
+"""Command-line interface.
+
+The reference has no flag system at all — behavior is selected by editing
+``images_info`` dicts and module-level if/elif ladders (SURVEY.md §5).
+Subcommands:
+
+    localize    candidate-camera search + PnP pose (+ optional DEM
+                geo-inversion and boundary export) — main_v1.py flow
+    twoview     detect/match/essential/triangulate on an image pair
+    sfm         incremental SfM over a track table
+    intrinsics  focal/sensor grid search (testpro-K flow)
+    bench       one-line JSON benchmark (same as bench.py)
+
+Run: python -m ransac_tpu.cli <subcommand> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_localize(args):
+    from ransac_tpu.io.tables import (build_scene, read_camera_locations,
+                                      read_points_data)
+    from ransac_tpu.io.export import write_location_csv
+    from ransac_tpu.pipelines.localize import localize
+    from ransac_tpu.utils.config import LocalizeConfig, RansacConfig
+
+    feats = read_points_data(
+        args.features, args.pixel_x, args.pixel_y, scale=args.scale,
+        z_mode=args.z_mode)
+    cams = read_camera_locations(args.cameras,
+                                 observer_height=args.observer_height)
+    scene = build_scene(feats, cams)
+    cfg = LocalizeConfig(
+        ransac=RansacConfig(threshold=args.ransacbound),
+        grid_code_min=args.grid_code_min)
+    res = localize(scene, (args.width, args.height), cfg, seed=args.seed)
+    print(f"best location: index {res.best_index} "
+          f"grid={scene.grid_codes[res.best_index]} "
+          f"utm=({res.best_location_utm[0]:.2f}, "
+          f"{res.best_location_utm[1]:.2f}, {res.best_location_utm[2]:.2f})")
+    if res.camera_origin_utm is not None:
+        print(f"PnP camera origin (UTM): {res.camera_origin_utm}")
+    else:
+        print("PnP RANSAC failed or insufficient inliers.")
+    if args.output:
+        out = args.output.replace(".jpg", "_location.csv")
+        if not out.endswith(".csv"):
+            out += "_location.csv"
+        write_location_csv(out, res.scores_rows)
+        print(f"wrote {out}")
+
+    if args.dem and res.camera_origin_utm is not None:
+        from ransac_tpu.io.dem import load_geotiff, resample_to_utm
+        from ransac_tpu.io.export import (save_boundary_shapefiles,
+                                          write_boundary_csv)
+        from ransac_tpu.pipelines.raycast import GeoInverter
+        from ransac_tpu.utils.config import RaycastConfig
+
+        dem_ll = load_geotiff(args.dem)
+        dem = resample_to_utm(dem_ll, scene.frame, spacing_m=args.dem_spacing)
+        origin_local = scene.frame.center(res.camera_origin_utm[None])[0]
+        inv = GeoInverter(
+            K=res.K, R=res.R, ray_origin=origin_local.astype(np.float64),
+            dem=dem, control_pixels=scene.pixels.astype(np.float64),
+            control_pos3d=scene.pos3d.astype(np.float64),
+            cfg=RaycastConfig())
+        if args.json_file:
+            data = json.load(open(args.json_file, encoding="utf-8"))
+            geo, pix = inv.convert_boundary(data)
+            write_boundary_csv("boundary_points_geo.csv", geo, pix)
+            save_boundary_shapefiles(
+                geo, "output_shapefiles",
+                data.get("info", {}).get("name", ""))
+            print("wrote boundary_points_geo.csv + output_shapefiles/")
+        if args.query:
+            for q in args.query:
+                px, py = (float(v) for v in q.split(","))
+                utm, hit = inv.pixel_to_geo(np.array([[px, py]]))
+                if hit[0]:
+                    print(f"pixel ({px:.0f},{py:.0f}) -> "
+                          f"E={utm[0,0]:.2f} N={utm[0,1]:.2f} z={utm[0,2]:.2f}")
+                else:
+                    print(f"pixel ({px:.0f},{py:.0f}) -> no DEM intersection")
+
+
+def _cmd_twoview(args):
+    from PIL import Image
+
+    from ransac_tpu.pipelines.twoview import two_view_pipeline
+    from ransac_tpu.utils.config import TwoViewConfig
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+
+    K = np.loadtxt(args.intrinsics).reshape(3, 3) if args.intrinsics else None
+    img1, img2 = load(args.image1), load(args.image2)
+    if K is None:
+        f = 1.2 * max(img1.shape)
+        K = np.array([[f, 0, img1.shape[1] / 2],
+                      [0, f, img1.shape[0] / 2], [0, 0, 1.0]])
+    res = two_view_pipeline(img1, img2, K, TwoViewConfig(
+        max_keypoints=args.max_keypoints))
+    print(f"matches: {len(res.matches)}  inliers: {int(res.inliers.sum())}  "
+          f"cheiral: {res.n_cheiral}")
+    print("R:", np.array2string(res.R, precision=4))
+    print("t:", np.array2string(res.t, precision=4))
+    if args.out:
+        np.savez(args.out, **res.__dict__)
+        print(f"wrote {args.out}")
+
+
+def _cmd_intrinsics(args):
+    from ransac_tpu.io.tables import read_points_data
+    from ransac_tpu.ops.geodesy import SceneFrame
+    from ransac_tpu.pipelines.intrinsics_search import search_intrinsics
+
+    feats = read_points_data(args.features, args.pixel_x, args.pixel_y)
+    frame = SceneFrame.from_points(feats.pos3d_utm)
+    X = frame.center(feats.pos3d_utm).astype(np.float64)
+    known = None
+    if args.known_origin:
+        e, n, z = (float(v) for v in args.known_origin.split(","))
+        known = frame.center(np.array([[e, n, z]]))[0].astype(np.float64)
+    res = search_intrinsics(X, feats.pixels, (args.width, args.height),
+                            known_origin=known,
+                            rank_by="dist" if known is not None else "err")
+    print(f"{'rank':>4} {'f(mm)':>6} {'sensor':>10} {'err(px)':>8} "
+          f"{'inl':>4} {'dist(m)':>9}")
+    for i, c in enumerate(res.candidates[:5]):
+        print(f"{i+1:4d} {c.focal_mm:6.0f} {str(c.sensor_mm):>10} "
+              f"{c.mean_err_px:8.2f} {c.n_inliers:4d} {c.dist_to_known:9.1f}")
+    print(f"refined mean reprojection error: {res.refined_mean_err_px:.2f} px")
+
+
+def _cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ransac_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("localize", help="candidate search + PnP (+DEM)")
+    p.add_argument("--features", required=True)
+    p.add_argument("--cameras", required=True)
+    p.add_argument("--pixel-x", dest="pixel_x", required=True)
+    p.add_argument("--pixel-y", dest="pixel_y", required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--ransacbound", type=float, default=75.0)
+    p.add_argument("--grid-code-min", dest="grid_code_min", type=int, default=0)
+    p.add_argument("--observer-height", type=float, default=2.0)
+    p.add_argument("--z-mode", dest="z_mode", default="elevation",
+                   choices=["elevation", "height_plus_elevation"])
+    p.add_argument("--output", default="")
+    p.add_argument("--dem", default="")
+    p.add_argument("--dem-spacing", type=float, default=10.0)
+    p.add_argument("--json-file", default="")
+    p.add_argument("--query", nargs="*", default=[],
+                   help="pixel queries 'x,y' for geo-inversion")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_localize)
+
+    p = sub.add_parser("twoview", help="two-view pipeline on an image pair")
+    p.add_argument("image1")
+    p.add_argument("image2")
+    p.add_argument("--intrinsics", default="", help="3x3 K txt file")
+    p.add_argument("--max-keypoints", type=int, default=1024)
+    p.add_argument("--out", default="")
+    p.set_defaults(fn=_cmd_twoview)
+
+    p = sub.add_parser("intrinsics", help="focal/sensor grid search")
+    p.add_argument("--features", required=True)
+    p.add_argument("--pixel-x", dest="pixel_x", required=True)
+    p.add_argument("--pixel-y", dest="pixel_y", required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--known-origin", default="", help="'E,N,z' UTM")
+    p.set_defaults(fn=_cmd_intrinsics)
+
+    p = sub.add_parser("bench", help="one-line JSON benchmark")
+    p.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

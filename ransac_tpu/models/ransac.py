@@ -76,6 +76,7 @@ def ransac_fit(
     key: jax.Array,
     degenerate_fn: Callable | None = None,
     residual_is_squared: bool = False,
+    threshold=None,
 ):
     """Engine core.  Returns (models_flat, valid, counts, msac, best_idx,
     inlier_mask_best).  ``residual_is_squared`` marks residuals already in
@@ -100,7 +101,7 @@ def ransac_fit(
     valid = valid.reshape(-1)
 
     r = jax.vmap(lambda m: residual_fn(m, x, y))(flat)  # [H, N]
-    thr = cfg.threshold
+    thr = cfg.threshold if threshold is None else threshold
     thr_sq = thr * thr
     r_sq = r if residual_is_squared else r * r
     r_sq = jnp.where(jnp.isfinite(r_sq), r_sq, jnp.inf)
@@ -190,29 +191,25 @@ def _pnp_solve(Xs, xs):
     return model, valid
 
 
-@partial(jax.jit, static_argnames=("cfg", "focal_px"))
+@partial(jax.jit, static_argnames=("cfg",))
 def ransac_pnp(
     Xw: jnp.ndarray, pixels: jnp.ndarray, K: jnp.ndarray,
     point_mask: jnp.ndarray, cfg: RansacConfig, key: jax.Array,
-    focal_px: float = 1.0,
+    focal_px=1.0,
 ) -> RansacResult:
     """``cv2.solvePnPRansac`` equivalent over a P3P hypothesis tensor.
 
     ``cfg.threshold`` is in pixels (30.0 in the reference, main_v1.py:500);
     residuals are computed in normalized coordinates, so the threshold is
-    divided by ``focal_px`` (a static mean-focal scalar) — identical
-    semantics for square-ish pixels.  Refit: DLT-PnP + LM on inliers
-    (= solvePnPRefineLM, main_v1.py:508).
+    divided by ``focal_px`` (mean focal, traced — no recompile per K) —
+    identical semantics for square-ish pixels.  Refit: DLT-PnP + LM on
+    inliers (= solvePnPRefineLM, main_v1.py:508).
     """
     pix_n = projection.normalize_pixels(pixels, K)
-    cfg_scaled = RansacConfig(
-        threshold=cfg.threshold / focal_px,
-        num_hypotheses=cfg.num_hypotheses, exhaustive=cfg.exhaustive,
-        max_exhaustive_samples=cfg.max_exhaustive_samples,
-        selection=cfg.selection, refit=cfg.refit,
-        refine_iters=cfg.refine_iters, seed=cfg.seed)
+    thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
     flat, valid, counts, msac, best, best_mask = ransac_fit(
-        _pnp_solve, _pnp_residual, Xw, pix_n, point_mask, 3, cfg_scaled, key)
+        _pnp_solve, _pnp_residual, Xw, pix_n, point_mask, 3, cfg, key,
+        threshold=thr_n)
     model_best = flat[best]
     R_best = model_best[:9].reshape(3, 3)
     t_best = model_best[9:12]

@@ -58,8 +58,16 @@ def two_view_pipeline(img1: np.ndarray, img2: np.ndarray, K: np.ndarray,
     x2 = proj.normalize_pixels(x2_pix, Kj)
     mask = m.valid.astype(jnp.float32)
 
+    # cfg threshold is in pixels; Sampson distance lives in squared
+    # normalized units -> bound = (px / focal)^2.
+    focal = float(K[0, 0] + K[1, 1]) / 2.0
+    e_cfg = ransac_mod.RansacConfig(
+        threshold=(cfg.ransac.threshold / focal) ** 2,
+        num_hypotheses=cfg.ransac.num_hypotheses, exhaustive=False,
+        selection=cfg.ransac.selection, refit=cfg.ransac.refit,
+        refine_iters=cfg.ransac.refine_iters, seed=cfg.ransac.seed)
     res = ransac_mod.ransac_essential(
-        x1, x2, mask, cfg.ransac, jax.random.key(seed))
+        x1, x2, mask, e_cfg, jax.random.key(seed))
     R, t, X, n = epipolar.recover_pose(res.model, x1, x2,
                                        res.inlier_mask.astype(jnp.float32))
 

@@ -121,9 +121,11 @@ class TwoViewConfig:
     nms_radius: int = 4
     patch_size: int = 8
     match_ratio: float = 0.9
+    #: RANSAC threshold is in PIXELS (converted to a squared normalized
+    #: Sampson bound using the focal length inside the pipeline).
     ransac: RansacConfig = field(
         default_factory=lambda: RansacConfig(
-            threshold=2e-3, num_hypotheses=8192, exhaustive=False
+            threshold=2.0, num_hypotheses=8192, exhaustive=False
         )
     )
 
@@ -145,12 +147,16 @@ def asdict(cfg: Any) -> dict:
 
 def from_mapping(cls, m: Mapping[str, Any]):
     """Build a (possibly nested) config dataclass from a plain mapping."""
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in m:
             continue
         v = m[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(v, Mapping):
-            v = from_mapping(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, Mapping):
+            v = from_mapping(ftype, v)
         kwargs[f.name] = v
     return cls(**kwargs)

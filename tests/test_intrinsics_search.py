@@ -1,0 +1,86 @@
+"""Intrinsics grid search: synthetic ground truth + the reference's real
+12-point dataset (testpro-K.py:198-225)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ransac_tpu.ops import projection as proj
+from ransac_tpu.ops.geodesy import SceneFrame
+from ransac_tpu.ops.rotation import exp_so3
+from ransac_tpu.pipelines.intrinsics_search import search_intrinsics
+from ransac_tpu.utils.config import RansacConfig
+from tests.conftest import reference_available
+
+# The reference's hardcoded real dataset (testpro-K.py:198-232): pyproj
+# UTM-50N landmark coords, the 1898 pixel annotations it used, and the
+# surveyed camera position.
+REF_POS3D = np.array([
+    [739031.2, 2888840.39, 726.0],
+    [738995.929, 2888848.16, 724.0],
+    [738963.052, 2888845.45, 721.0],
+    [739173.616, 2888834.91, 697.0],
+    [739077.689, 2888935.68, 726.0],
+    [739033.253, 2888924.78, 726.0],
+    [738973.016, 2888907.82, 723.0],
+    [739136.184, 2889025.65, 705.0],
+    [739179.948, 2888631.85, 702.0],
+    [739140.769, 2888574.49, 702.0],
+    [739312.871, 2888549.5, 720.0],
+    [739249.159, 2888541.79, 707.0],
+])
+REF_PIXELS = np.array([
+    [582, 296], [402, 301], [272, 314], [1440, 467], [965, 296],
+    [666, 265], [392, 283], [1583, 319], [729, 606], [169, 696],
+    [1804, 672], [885, 824],
+], dtype=np.float64)
+REF_IMAGE_SIZE = (2142, 1620)
+REF_KNOWN_ORIGIN = np.array([739424.6, 2888281.18, 770.0])
+
+
+def test_recovers_planted_focal():
+    rng = np.random.default_rng(0)
+    W, H = 800, 600
+    f_mm, sensor = 180.0, (127, 178)
+    K = np.asarray(proj.intrinsics_from_physical(
+        f_mm, sensor[0], sensor[1], W, H, W / 2, H / 2))
+    rvec = np.array([0.1, -0.2, 0.05])
+    R = np.asarray(exp_so3(jnp.asarray(rvec)))
+    t = np.array([0.5, -0.3, 30.0])
+    X = rng.uniform(-15, 15, size=(14, 3)) + [0, 0, 10]
+    pix, z = proj.project_points(
+        jnp.asarray(X), jnp.asarray(R), jnp.asarray(t), jnp.asarray(K))
+    assert np.all(np.asarray(z) > 0)
+    pix = np.asarray(pix) + rng.normal(scale=0.3, size=(14, 2))
+    origin = -R.T @ t
+    res = search_intrinsics(X, pix, (W, H), known_origin=origin,
+                            rank_by="err")
+    assert res.best.focal_mm == f_mm
+    assert res.best.sensor_mm == sensor
+    assert res.refined_mean_err_px < 1.0
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference data absent")
+def test_reference_dataset_ranking():
+    """On the real 12-point dataset the search must behave like
+    testpro-K: produce a full ranking, a plausible best combo and a
+    refined pose whose origin lands within a few hundred meters of the
+    surveyed position (the reference's own best combos land ~100-400 m
+    off; annotations are hand-clicked on an 1898 photograph)."""
+    frame = SceneFrame.from_points(
+        np.vstack([REF_POS3D, REF_KNOWN_ORIGIN[None]]))
+    X = frame.center(REF_POS3D).astype(np.float64)
+    known = frame.center(REF_KNOWN_ORIGIN[None])[0].astype(np.float64)
+    res = search_intrinsics(
+        X, REF_PIXELS, REF_IMAGE_SIZE, known_origin=known,
+        ransac_cfg=RansacConfig(threshold=30.0, exhaustive=True),
+        rank_by="dist")
+    assert len(res.candidates) == 27
+    best = res.best
+    # 5 inliers at 30 px is also what cv2.solvePnPRansac achieves on this
+    # hand-annotated data (see test_localize_parity).
+    assert best.n_inliers >= 5
+    assert best.dist_to_known < 500.0, best.dist_to_known
+    # Ranking is sorted by the chosen key.
+    dists = [c.dist_to_known for c in res.candidates]
+    assert dists == sorted(dists)

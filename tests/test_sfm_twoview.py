@@ -1,0 +1,127 @@
+"""Two-view pipeline on rendered images + incremental SfM on synthetic
+tracks: ATE-style accuracy checks (SURVEY.md §6 'pose within ATE bound')."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.ops import projection as proj
+from ransac_tpu.ops.rotation import exp_so3, geodesic_distance, log_so3
+from ransac_tpu.pipelines.sfm import incremental_sfm
+from ransac_tpu.pipelines.twoview import two_view_pipeline
+from ransac_tpu.utils.config import TwoViewConfig
+
+
+def render_dots(points3d, R, t, K, shape=(240, 320)):
+    """Render a distinctive multi-blob pattern at each projected 3D point.
+
+    Patch descriptors are zero-mean/unit-norm, so identical isotropic dots
+    would be indistinguishable; each landmark instead gets its own fixed
+    constellation of 4 offset blobs (random offsets/radii/signs per point),
+    giving patches genuine identity under small viewpoint change.
+    """
+    pix, z = proj.project_points(
+        jnp.asarray(points3d), jnp.asarray(R), jnp.asarray(t), jnp.asarray(K))
+    pix = np.asarray(pix)
+    vis = np.asarray(z) > 0
+    H, W = shape
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.zeros(shape)
+    rng = np.random.default_rng(0)
+    n = len(points3d)
+    offs = rng.uniform(-5, 5, size=(n, 4, 2))
+    offs[:, 0] = 0.0  # keep a central blob so Harris fires near the point
+    radii = rng.uniform(1.0, 2.5, size=(n, 4))
+    amps = rng.uniform(0.4, 1.0, size=(n, 4)) * rng.choice(
+        [1.0, 1.0, 1.0, -0.6], size=(n, 4))
+    amps[:, 0] = 1.0
+    for i in np.where(vis)[0]:
+        u, v = pix[i]
+        if 0 <= u < W and 0 <= v < H:
+            for b in range(4):
+                ub, vb = u + offs[i, b, 0], v + offs[i, b, 1]
+                img += amps[i, b] * np.exp(
+                    -(((xx - ub) ** 2 + (yy - vb) ** 2)
+                      / (2 * radii[i, b] ** 2)))
+    lo, hi = img.min(), img.max()
+    return (img - lo) / max(hi - lo, 1e-9)
+
+
+def test_two_view_pipeline_recovers_relative_pose():
+    rng = np.random.default_rng(1)
+    n = 120
+    X = rng.uniform(-1, 1, size=(n, 3)) * np.array([2.0, 1.5, 0.8]) + [0, 0, 6]
+    K = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
+    R1 = np.eye(3)
+    t1 = np.zeros(3)
+    rvec2 = np.array([0.02, -0.06, 0.01])
+    R2 = np.asarray(exp_so3(jnp.asarray(rvec2)))
+    t2 = np.array([0.6, 0.05, 0.02])
+    t2u = t2 / np.linalg.norm(t2)
+
+    img1 = render_dots(X, R1, t1, K)
+    img2 = render_dots(X, R2, t2, K)
+    res = two_view_pipeline(img1, img2, K, TwoViewConfig(
+        max_keypoints=256, match_ratio=0.95, patch_size=16))
+    assert res.matches.shape[0] > 40
+    assert res.inliers.sum() > 25
+    ang = float(geodesic_distance(jnp.asarray(res.R), jnp.asarray(R2)))
+    assert ang < 0.05, ang
+    assert abs(float(np.dot(res.t, t2u))) > 0.98
+
+
+def synth_tracks(n_frames=6, n_pts=80, seed=2, noise=0.3):
+    rng = np.random.default_rng(seed)
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
+    X = rng.uniform(-1, 1, size=(n_pts, 3)) * np.array([4, 3, 1.5]) + [0, 0, 10]
+    poses = {}
+    tracks = {}
+    for f in range(n_frames):
+        rvec = rng.normal(size=3) * 0.03
+        t = np.array([f * 0.7 - 2.0, rng.normal() * 0.05, rng.normal() * 0.05])
+        poses[f] = np.concatenate([rvec, t])
+        R = np.asarray(exp_so3(jnp.asarray(rvec)))
+        pix, z = proj.project_points(
+            jnp.asarray(X), jnp.asarray(R), jnp.asarray(t), jnp.asarray(K))
+        pix = np.asarray(pix) + rng.normal(scale=noise, size=(n_pts, 2))
+        for i in range(n_pts):
+            if float(z[i]) > 0:
+                tracks[(f, i)] = pix[i]
+    return tracks, K, poses, X
+
+
+def umeyama_align(A, B):
+    """Similarity aligning A -> B (for ATE with free monocular gauge)."""
+    muA, muB = A.mean(0), B.mean(0)
+    A0, B0 = A - muA, B - muB
+    U, S, Vt = np.linalg.svd(B0.T @ A0 / len(A))
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    s = np.trace(np.diag(S) @ D) / (A0 ** 2).mean(0).sum()
+    t = muB - s * R @ muA
+    return s, R, t
+
+
+def test_incremental_sfm_ate():
+    tracks, K, poses_true, X_true = synth_tracks()
+    m = incremental_sfm(tracks, K, list(range(6)), seed=0)
+    assert len(m.camera_poses) == 6
+    assert len(m.points) > 50
+
+    # Camera centers, true vs estimated, similarity-aligned (monocular
+    # scale gauge), ATE RMSE bound.
+    def centers(poses):
+        out = []
+        for f in sorted(poses):
+            p = poses[f]
+            R = np.asarray(exp_so3(jnp.asarray(p[:3], jnp.float32)))
+            out.append(-R.T @ p[3:])
+        return np.array(out)
+
+    C_est = centers(m.camera_poses)
+    C_true = centers(poses_true)
+    s, R, t = umeyama_align(C_est, C_true)
+    ate = np.sqrt(((C_true - (s * C_est @ R.T + t)) ** 2).sum(1).mean())
+    scene_scale = np.abs(C_true).max()
+    assert ate < 0.05 * scene_scale, (ate, scene_scale)
