@@ -56,6 +56,18 @@ def _cmd_localize(args):
         write_location_csv(out, res.scores_rows)
         print(f"wrote {out}")
 
+    if args.report and args.output:
+        from ransac_tpu.pipelines.localize import export_best_candidate_report
+
+        img = None
+        if args.image and os.path.exists(args.image):
+            from PIL import Image
+
+            img = np.asarray(Image.open(args.image))
+        export_best_candidate_report(scene, res, args.output, image=img)
+        print(f"wrote accuracies/correlations CSVs + diagnostic PNGs for "
+              f"{args.output}")
+
     if args.dem and res.camera_origin_utm is not None:
         from ransac_tpu.io.dem import load_geotiff, resample_to_utm
         from ransac_tpu.io.export import (save_boundary_shapefiles,
@@ -79,15 +91,60 @@ def _cmd_localize(args):
                 geo, "output_shapefiles",
                 data.get("info", {}).get("name", ""))
             print("wrote boundary_points_geo.csv + output_shapefiles/")
-        if args.query:
-            for q in args.query:
-                px, py = (float(v) for v in q.split(","))
-                utm, hit = inv.pixel_to_geo(np.array([[px, py]]))
-                if hit[0]:
-                    print(f"pixel ({px:.0f},{py:.0f}) -> "
-                          f"E={utm[0,0]:.2f} N={utm[0,1]:.2f} z={utm[0,2]:.2f}")
-                else:
-                    print(f"pixel ({px:.0f},{py:.0f}) -> no DEM intersection")
+        def answer(px, py):
+            utm, hit = inv.pixel_to_geo(np.array([[px, py]]))
+            if hit[0]:
+                print(f"pixel ({px:.0f},{py:.0f}) -> "
+                      f"E={utm[0,0]:.2f} N={utm[0,1]:.2f} z={utm[0,2]:.2f}")
+            else:
+                print(f"pixel ({px:.0f},{py:.0f}) -> no DEM intersection")
+
+        for q in args.query:
+            px, py = (float(v) for v in q.split(","))
+            answer(px, py)
+
+        if args.interactive:
+            # The reference's REPL (main_v1.py:934-958).
+            while True:
+                try:
+                    line = input("pixel x,y (or 'exit'): ").strip()
+                except EOFError:
+                    break
+                if line.lower() == "exit":
+                    break
+                parts = line.replace(" ", "").replace("，", ",").split(",")
+                if len(parts) != 2:
+                    print("format: 755,975")
+                    continue
+                try:
+                    answer(float(parts[0]), float(parts[1]))
+                except ValueError as e:
+                    print(f"bad input: {e}")
+
+
+def _cmd_run(args):
+    """Batch driver: a JSON config holding an images_info-style list
+    (main_v1.py:975-1013 parity, minus the edit-the-source workflow)."""
+    cfg = json.load(open(args.config, encoding="utf-8"))
+    jobs = cfg if isinstance(cfg, list) else cfg.get("images", [])
+    for job in jobs:
+        print(f"=== {job.get('image_name', job.get('output', '?'))} ===")
+        ns = argparse.Namespace(
+            features=job["features"], cameras=job["camera_locations"],
+            pixel_x=job["pixel_x"], pixel_y=job["pixel_y"],
+            width=int(job.get("width", 0)), height=int(job.get("height", 0)),
+            scale=float(job.get("scale", 1.0)),
+            ransacbound=float(job.get("ransacbound", 75.0)),
+            grid_code_min=int(job.get("grid_code_min", 0)),
+            observer_height=float(job.get("observer_height", 2.0)),
+            z_mode=job.get("z_mode", "elevation"),
+            output=job.get("output", ""), dem=job.get("dem_file", ""),
+            dem_spacing=float(job.get("dem_spacing", 10.0)),
+            json_file=job.get("json_file", ""),
+            query=job.get("query", []), seed=int(job.get("seed", 0)),
+            report=bool(job.get("report", False)),
+            image=job.get("image_name", ""), interactive=False)
+        _cmd_localize(ns)
 
 
 def _cmd_twoview(args):
@@ -168,8 +225,17 @@ def main(argv=None):
     p.add_argument("--json-file", default="")
     p.add_argument("--query", nargs="*", default=[],
                    help="pixel queries 'x,y' for geo-inversion")
+    p.add_argument("--interactive", action="store_true",
+                   help="REPL for pixel->geo queries (needs --dem)")
+    p.add_argument("--report", action="store_true",
+                   help="write accuracies/correlations CSVs + plots")
+    p.add_argument("--image", default="", help="image path for the report")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_localize)
+
+    p = sub.add_parser("run", help="batch config runner (images_info JSON)")
+    p.add_argument("--config", required=True)
+    p.set_defaults(fn=_cmd_run)
 
     p = sub.add_parser("twoview", help="two-view pipeline on an image pair")
     p.add_argument("image1")

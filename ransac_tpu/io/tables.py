@@ -62,6 +62,18 @@ class CameraTable:
         return len(self.grid_codes)
 
 
+def _native_ok(use_native) -> bool:
+    if use_native == "never":
+        return False
+    from ransac_tpu.io import native
+
+    ok = native.available()
+    if use_native == "always" and not ok:
+        raise RuntimeError("native fastio requested but libfastio.so is "
+                           "not built (make -C native)")
+    return ok
+
+
 def read_points_data(
     filename: str,
     pixel_x: str,
@@ -71,6 +83,7 @@ def read_points_data(
     schema: str = "kuliang",
     zone: int = 50,
     keep_unannotated: bool = False,
+    use_native: str = "auto",
 ) -> FeatureTable:
     """Parse the features CSV.
 
@@ -84,10 +97,43 @@ def read_points_data(
     symbols, names = [], []
     pixels, pos3d, lonlat, heights, elevations = [], [], [], [], []
     with open(filename, encoding="utf-8-sig") as f:
-        rows = list(csv.reader(f))
-    header = rows[0]
+        header = next(csv.reader(f))
     ix = header.index(pixel_x)
     iy = header.index(pixel_y)
+
+    if schema == "kuliang" and _native_ok(use_native):
+        # Native single-pass parse (native/fastio.cpp via ctypes); the
+        # Python loop below remains the reference/fallback path.
+        from ransac_tpu.io import native
+
+        num = native.read_numeric(filename, [3, 4, 5, 6, ix, iy])
+        syms = native.read_strings(filename, 1)
+        nams = native.read_strings(filename, 2)
+        for i in range(num.shape[0]):
+            hgt, lon, lat, elev, px, py = num[i]
+            pix = np.array([px, py]) / scale
+            if not keep_unannotated and pix[0] == 0 and pix[1] == 0:
+                continue
+            easting, northing = tr.wgs84_to_utm(lon, lat)
+            z = elev if z_mode == "elevation" else hgt + elev
+            symbols.append(syms[i])
+            names.append(nams[i])
+            pixels.append(pix)
+            pos3d.append(np.array([easting, northing, z]))
+            lonlat.append(np.array([lon, lat]))
+            heights.append(hgt)
+            elevations.append(elev)
+        return FeatureTable(
+            symbols=symbols, names=names,
+            pixels=np.array(pixels, dtype=np.float64).reshape(-1, 2),
+            pos3d_utm=np.array(pos3d, dtype=np.float64).reshape(-1, 3),
+            lonlat=np.array(lonlat, dtype=np.float64).reshape(-1, 2),
+            heights=np.array(heights, dtype=np.float64),
+            elevations=np.array(elevations, dtype=np.float64),
+        )
+
+    with open(filename, encoding="utf-8-sig") as f:
+        rows = list(csv.reader(f))
     for row in rows[1:]:
         if not row or not row[0].strip():
             continue
@@ -137,10 +183,22 @@ def read_camera_locations(
     observer_height: float = 2.0,
     schema: str = "kuliang",
     zone: int = 50,
+    use_native: str = "auto",
 ) -> CameraTable:
     """Parse the candidate-camera CSV (main_v1.py:734-762): grid_code col 1,
     lon col 2, lat col 3, elevation col 4, +observer_height meters."""
     tr = GeoTransformer(zone=zone)
+    if schema == "kuliang" and _native_ok(use_native):
+        from ransac_tpu.io import native
+
+        num = native.read_numeric(filename, [1, 2, 3, 4])
+        easting, northing = tr.wgs84_to_utm(num[:, 1], num[:, 2])
+        return CameraTable(
+            grid_codes=num[:, 0].astype(np.int32),
+            pos3d_utm=np.stack(
+                [easting, northing, num[:, 3] + observer_height], axis=1),
+            lonlat=num[:, 1:3].copy(),
+        )
     grid_codes, pos3d, lonlat = [], [], []
     with open(filename, encoding="utf-8-sig") as f:
         rows = list(csv.reader(f))

@@ -107,6 +107,66 @@ class LocalizationResult:
     scores_rows: list                 # per-candidate CSV rows (ref layout)
 
 
+def export_best_candidate_report(
+    scene: Scene, result: "LocalizationResult", outputfile: str,
+    image=None, depth_val: float = 1.0, make_plots: bool = True,
+):
+    """The reference's show-mode artifacts for the winning candidate
+    (main_v1.py:384-417 + find_homographies(show=True) second pass):
+    ``*_accuracies.csv``, ``*_correlations.csv`` and the diagnostic plots
+    (annotated overlay, error histograms, bearing rose, NN distances,
+    homography heatmap, RANSAC scatter) saved next to ``outputfile``.
+    """
+    from ransac_tpu import analytics, viz
+    from ransac_tpu.io.export import write_rows_csv
+    from ransac_tpu.ops import homography as hops_mod
+
+    best = result.best_index
+    H = jnp.asarray(result.homographies[best])
+    pos2, _ = proj.east_axis_plane_projection(
+        jnp.asarray(scene.pos3d), jnp.asarray(scene.cam_locs[best]))
+    calc_pixels = np.asarray(hops_mod.apply_h(H, pos2))
+    feats = scene.features
+    pos_xy = feats.pos3d_utm[:, :2]
+
+    acc_rows = analytics.accuracy_rows(
+        feats.symbols, feats.names, pos_xy, feats.pixels, calc_pixels)
+    write_rows_csv(outputfile.replace(".jpg", "_accuracies.csv"), acc_rows,
+                   encoding="utf-8-sig")
+    corr_rows = analytics.correlate_features(
+        feats.symbols, pos_xy, feats.pixels, calc_pixels, depth_val)
+    write_rows_csv(outputfile.replace(".jpg", "_correlations.csv"), corr_rows)
+
+    if make_plots:
+        base = outputfile.replace(".jpg", "")
+        inl = result.inlier_masks[best]
+        viz.plot_annotated_image(
+            image, feats.pixels, feats.symbols, calc_pixels, inl,
+            save_to=base + "_output.png")
+        err = np.linalg.norm(calc_pixels - feats.pixels, axis=1)
+        viz.plot_error_histogram(err[inl], "inlier pixel error",
+                                 save_to=base + "_err_hist.png")
+        viz.plot_angle_rose(
+            analytics.calc_bearing(
+                feats.pixels[:, 0], feats.pixels[:, 1],
+                calc_pixels[:, 0], calc_pixels[:, 1]),
+            save_to=base + "_rose.png")
+        viz.plot_nearest_neighbor_distances(
+            analytics.nearest_neighbor_distances(feats.pixels),
+            save_to=base + "_nn.png")
+        viz.plot_homography_heatmap(result.homographies[best],
+                                    save_to=base + "_H.png")
+        viz.plot_ransac_scatter(feats.pixels[inl], feats.pixels[~inl],
+                                save_to=base + "_ransac.png")
+        viz.plot_camera_location_scores(
+            result.scores_rows, zone=scene.frame.zone,
+            save_to=base + "_scores.png")
+        viz.plot_camera_pose(scene.cameras.pos3d_utm, best,
+                             zone=scene.frame.zone,
+                             save_to=base + "_pose.png")
+    return acc_rows, corr_rows
+
+
 def localize(
     scene: Scene,
     image_size: tuple[int, int],

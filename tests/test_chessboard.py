@@ -1,0 +1,90 @@
+"""Checkerboard detection -> Zhang calibration, fully from rendered images
+(closes the cv2.findChessboardCorners + calibrateCamera loop)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.features.chessboard import find_chessboard_corners
+from ransac_tpu.models import calibration as calib
+from ransac_tpu.ops import homography as hops
+
+
+def render_checkerboard(H, cols=9, rows=6, square_px=40, shape=(480, 640),
+                        supersample=3):
+    """Render a warped checkerboard via homography H mapping board coords
+    (units of squares) -> image pixels.  Returns (image, true inner-corner
+    pixels [rows*cols, 2] row-major)."""
+    Hh, Ww = shape
+    ss = supersample
+    yy, xx = np.mgrid[0:Hh * ss, 0:Ww * ss].astype(np.float64) / ss
+    Hinv = np.linalg.inv(H)
+    pix = np.stack([xx.ravel(), yy.ravel()], -1)
+    board = np.asarray(hops.apply_h(jnp.asarray(Hinv), jnp.asarray(pix)))
+    bx, by = board[:, 0], board[:, 1]
+    # Physical board: checker squares inside [0,cols]x[0,rows], plain
+    # (white) margin outside — border corners are L-junctions, so only the
+    # (cols-1)x(rows-1) INNER corners are X-junction saddles.
+    on_board = (bx >= 0) & (bx < cols) & (by >= 0) & (by < rows)
+    black = ((np.floor(bx) + np.floor(by)) % 2 == 0)
+    img = np.where(on_board & black, 0.05, 0.95).reshape(Hh * ss, Ww * ss)
+    img = img.reshape(Hh, ss, Ww, ss).mean((1, 3))
+
+    grid = np.stack(np.meshgrid(np.arange(1, cols - 0.5),
+                                np.arange(1, rows - 0.5)), -1).reshape(-1, 2)
+    corners = np.asarray(hops.apply_h(jnp.asarray(H), jnp.asarray(grid)))
+    return img, corners
+
+
+def test_detect_known_grid():
+    H = np.array([[38.0, 3.0, 120.0], [-2.0, 40.0, 60.0],
+                  [1e-4, 5e-5, 1.0]])
+    img, true_corners = render_checkerboard(H, cols=9, rows=6)
+    found, corners = find_chessboard_corners(img, 8, 5)
+    assert found
+    # Board is 180-degree symmetric: accept either labeling.
+    err_fwd = np.linalg.norm(corners - true_corners, axis=1)
+    err_rev = np.linalg.norm(corners - true_corners[::-1], axis=1)
+    err = min(err_fwd.mean(), err_rev.mean())
+    assert err < 1.0, err
+
+
+def test_calibration_from_rendered_images():
+    rng = np.random.default_rng(0)
+    K_true = np.array([[500.0, 0, 320.0], [0, 510.0, 240.0], [0, 0, 1.0]])
+    cols_in, rows_in = 8, 5  # inner corners
+    obj = calib.checkerboard_object_points(cols_in, rows_in, square=1.0)
+
+    views = []
+    n_views = 5
+    count = 0
+    attempt = 0
+    while count < n_views and attempt < 20:
+        attempt += 1
+        # Random plausible board pose -> homography K [r1 r2 t].
+        from ransac_tpu.ops.rotation import exp_so3
+
+        rvec = rng.normal(size=3) * np.array([0.25, 0.25, 0.2])
+        R = np.asarray(exp_so3(jnp.asarray(rvec)))
+        t = np.array([-4.0, -3.0, 12.0]) + rng.normal(size=3) * 0.8
+        Hm = K_true @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+        if abs(Hm[2, 2]) < 1e-9:
+            continue
+        Hm = Hm / Hm[2, 2]
+        img, _ = render_checkerboard(Hm, cols=cols_in + 1, rows=rows_in + 1)
+        found, corners = find_chessboard_corners(img, cols_in, rows_in)
+        if not found:
+            continue
+        views.append(corners)
+        count += 1
+    assert count >= 4, f"only {count} boards detected"
+
+    res = calib.calibrate_camera(
+        jnp.asarray(obj, jnp.float32),
+        jnp.asarray(np.stack(views), jnp.float32))
+    K = np.asarray(res.K)
+    # 180-degree grid ambiguity is calibration-neutral (board symmetric).
+    assert abs(K[0, 0] - K_true[0, 0]) / K_true[0, 0] < 0.03, K
+    assert abs(K[1, 1] - K_true[1, 1]) / K_true[1, 1] < 0.03, K
+    assert abs(K[0, 2] - K_true[0, 2]) < 15.0
+    assert abs(K[1, 2] - K_true[1, 2]) < 15.0
+    assert float(res.rms) < 1.0
