@@ -166,6 +166,50 @@ def ransac_homography(
         counts=counts, num_hypotheses=int(valid.shape[0]))
 
 
+def ransac_homography_sweep(
+    src: jnp.ndarray, dst: jnp.ndarray, point_mask: jnp.ndarray,
+    cfg: RansacConfig, key_or_seed, interpret: bool = False,
+) -> RansacResult:
+    """Homography RANSAC through the fully-fused Pallas sweep kernel
+    (ops.pallas.sweep) — the high-throughput path for <=16-point problems.
+
+    The kernel returns per-hypothesis (MSAC, count, packed sample); the
+    winning minimal sample is re-solved exactly here and refit on its
+    inliers, giving the same semantics as ``ransac_homography``.
+    """
+    from ransac_tpu.ops.pallas.sweep import (BLOCK_H,
+                                             homography_ransac_sweep)
+
+    seed = key_or_seed
+    n_hyp = max(cfg.num_hypotheses, BLOCK_H)
+    n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
+    msac_all, counts_all, packed_all = homography_ransac_sweep(
+        seed, src, dst, point_mask, cfg.threshold, n_hyp=n_hyp,
+        interpret=interpret)
+    best = jnp.argmin(msac_all)
+    sample_packed = packed_all[best]
+    sample = jnp.stack([
+        sample_packed & 15, (sample_packed >> 4) & 15,
+        (sample_packed >> 8) & 15, (sample_packed >> 12) & 15])
+    H_best, ok = homography.dlt_homography_minimal(src[sample], dst[sample])
+    errs = homography.transfer_errors(H_best, src, dst)
+    thr_sq = cfg.threshold * cfg.threshold
+    best_mask = (errs * errs <= thr_sq) & point_mask.astype(bool)
+    H_ref = H_best
+    if cfg.refit:
+        w = best_mask.astype(src.dtype)
+        H_ref = homography.dlt_homography(src, dst, w)
+        if cfg.refine_iters > 0:
+            H_ref, _ = refine_homography(
+                H_ref, src, dst, w, max_iters=cfg.refine_iters)
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(H_ref)))
+        H_ref = jnp.where(bad, H_best, H_ref)
+    return RansacResult(
+        model=H_ref, raw_model=H_best, inlier_mask=best_mask,
+        num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
+        counts=counts_all, num_hypotheses=int(n_hyp))
+
+
 # --------------------------------------------------------------------------
 # PnP
 # --------------------------------------------------------------------------

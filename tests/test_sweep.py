@@ -1,0 +1,94 @@
+"""Fused RANSAC sweep kernel: interpret-mode correctness vs the stage-wise
+engine; scaling harness smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.models import ransac as R
+from ransac_tpu.ops import homography as hops
+from ransac_tpu.ops.pallas.sweep import (BLOCK_H, homography_ransac_sweep,
+                                         unpack_sample)
+from ransac_tpu.utils.config import RansacConfig
+
+
+def planted(seed=0, n=13, n_out=3, noise=1.0):
+    rng = np.random.default_rng(seed)
+    H_true = np.array([[900.0, 40.0, 500.0], [-15.0, 850.0, 400.0],
+                       [1e-3, 2e-3, 1.0]])
+    src = rng.uniform(-1.5, 1.5, size=(n, 2)).astype(np.float32)
+    dst = np.array(hops.apply_h(jnp.asarray(H_true), jnp.asarray(src)))
+    dst = (dst + rng.normal(scale=noise, size=dst.shape)).astype(np.float32)
+    dst[n - n_out:] += 300.0
+    return src, dst, n - n_out
+
+
+def test_sweep_finds_consensus():
+    src, dst, n_in = planted()
+    msac, counts, packed = homography_ransac_sweep(
+        7, jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
+        75.0, n_hyp=2 * BLOCK_H, interpret=True)
+    msac = np.asarray(msac)
+    counts = np.asarray(counts)
+    assert (msac < 1e38).mean() > 0.95  # nearly all hypotheses valid
+    b = int(np.argmin(msac))
+    assert counts[b] >= n_in
+    sample = unpack_sample(np.asarray(packed)[b])
+    assert len(set(sample.tolist())) == 4
+    # Winner re-solve must reproduce the kernel's count.
+    Hm, ok = hops.dlt_homography_minimal(
+        jnp.asarray(src[sample]), jnp.asarray(dst[sample]))
+    errs = np.asarray(hops.transfer_errors(
+        Hm, jnp.asarray(src), jnp.asarray(dst)))
+    assert bool(ok)
+    assert abs(int((errs <= 75.0).sum()) - counts[b]) <= 1  # f32 boundary
+
+
+def test_sweep_engine_wrapper_matches_stagewise():
+    src, dst, n_in = planted(1)
+    cfg = RansacConfig(threshold=75.0, num_hypotheses=2 * BLOCK_H,
+                       exhaustive=False)
+    res_sweep = R.ransac_homography_sweep(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)), cfg, 3,
+        interpret=True)
+    res_engine = R.ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
+        RansacConfig(threshold=75.0, exhaustive=True), jax.random.key(0))
+    # Same consensus set size; same inlier mask.
+    assert int(res_sweep.num_inliers) == int(res_engine.num_inliers)
+    np.testing.assert_array_equal(np.asarray(res_sweep.inlier_mask),
+                                  np.asarray(res_engine.inlier_mask))
+    # Refit models agree on inlier predictions.
+    w = np.asarray(res_engine.inlier_mask)
+    p1 = np.asarray(hops.apply_h(res_sweep.model, jnp.asarray(src[w])))
+    p2 = np.asarray(hops.apply_h(res_engine.model, jnp.asarray(src[w])))
+    assert np.abs(p1 - p2).max() < 1.0
+
+
+def test_sweep_sampling_uniformity():
+    """Every 4-subset drawn by the kernel is valid and the per-point usage
+    is near-uniform."""
+    src, dst, _ = planted(2)
+    msac, counts, packed = homography_ransac_sweep(
+        11, jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
+        75.0, n_hyp=BLOCK_H, interpret=True)
+    packed = np.asarray(packed)
+    idx = np.stack([packed & 15, (packed >> 4) & 15,
+                    (packed >> 8) & 15, (packed >> 12) & 15], 1)
+    assert idx.min() >= 0 and idx.max() < 13
+    # No repeats within a sample.
+    srt = np.sort(idx, 1)
+    assert (srt[:, :-1] != srt[:, 1:]).all()
+    freq = np.bincount(idx.ravel(), minlength=13) / idx.size
+    assert abs(freq - 1 / 13).max() < 0.02
+
+
+def test_scaling_harness():
+    from ransac_tpu.utils.scaling import measure_scaling, report
+
+    pts = measure_scaling(device_counts=[1, 2], n_candidates=8,
+                          hypotheses=256, iters=1)
+    assert len(pts) == 2
+    assert pts[0].efficiency == 1.0
+    txt = report(pts)
+    assert "devices" in txt and "eff" in txt
