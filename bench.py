@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: RANSAC hypotheses/s/chip (BASELINE.md target >= 1e5).
 
-Measures the full on-device hypothesize-and-verify chain on one chip —
-random 4-point sampling, vmapped normalized-DLT solve, fused Pallas inlier
-scoring, on-device selection — at the reference's problem shape (13
-correspondences, homography threshold 75 px; /root/reference/main_v1.py:312).
-The reference's implied rate is ~147 OpenCV RANSAC *fits*/s of <=2000
+Measures the full on-device hypothesize-and-verify sweep at the reference's
+problem shape (13 correspondences, homography threshold 75 px;
+/root/reference/main_v1.py:312) through the fused Pallas kernel
+(ops.pallas.sweep): sampling, gather, normalized 8x8 solve, scoring and
+per-hypothesis records in one kernel, winner re-solved for correctness.
+Falls back to the stage-wise engine chain if the fused kernel is
+unavailable on the backend.
+
+The reference's implied rate is ~147 OpenCV RANSAC fits/s of <=2000
 hypotheses each, i.e. <=~3e5 hypotheses/s on the author's desktop
-(BASELINE.md); the vs_baseline ratio below is against the 1e5/s target.
+(BASELINE.md); vs_baseline is against the 1e5/s target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,7 +26,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def _problem(n_points=13):
+    import jax.numpy as jnp
+
+    from ransac_tpu.ops import homography as hops
+
+    rng = np.random.default_rng(0)
+    H_true = np.array([[900.0, 40.0, 500.0], [-15.0, 850.0, 400.0],
+                       [1e-3, 2e-3, 1.0]])
+    src = rng.uniform(-1.5, 1.5, size=(n_points, 2)).astype(np.float32)
+    dst = np.asarray(hops.apply_h(jnp.asarray(H_true), jnp.asarray(src)))
+    dst = (dst + rng.normal(scale=1.0, size=dst.shape)).astype(np.float32)
+    dst[10:] += 300.0  # outliers
+    return jnp.asarray(src), jnp.asarray(dst), jnp.ones(n_points, jnp.float32)
+
+
+def bench_sweep(n_hyp, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from ransac_tpu.ops.pallas.sweep import homography_ransac_sweep
+
+    src, dst, mask = _problem()
+
+    @jax.jit
+    def step(seed):
+        msac, counts, packed = homography_ransac_sweep(
+            seed, src, dst, mask, 75.0, n_hyp=n_hyp)
+        best = jnp.argmin(msac)
+        return msac[best], counts[best], packed[best]
+
+    out = step(0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(i)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    assert float(out[1]) >= 10, "consensus not found"
+    return n_hyp / dt
+
+
+def bench_stagewise(n_hyp, iters):
     import jax
     import jax.numpy as jnp
 
@@ -30,24 +75,12 @@ def main():
     from ransac_tpu.ops.pallas import score as pscore
     from ransac_tpu.utils.prng import sample_without_replacement
 
-    platform = jax.devices()[0].platform
-    interpret = platform != "tpu"
-    n_points = 13
-    n_hyp = 1 << 18 if platform == "tpu" else 1 << 12
-
-    rng = np.random.default_rng(0)
-    # Reference-shaped problem: 13 annotated correspondences, plane->pixel.
-    H_true = np.array([[900.0, 40.0, 500.0], [-15.0, 850.0, 400.0],
-                       [1e-3, 2e-3, 1.0]])
-    src = rng.uniform(-1.5, 1.5, size=(n_points, 2)).astype(np.float32)
-    dst = np.asarray(hops.apply_h(jnp.asarray(H_true), jnp.asarray(src)))
-    dst = (dst + rng.normal(scale=1.0, size=dst.shape)).astype(np.float32)
-    dst[9:] += 200.0  # outliers
-    mask = np.ones(n_points, np.float32)
+    src, dst, mask = _problem()
+    interpret = jax.devices()[0].platform != "tpu"
 
     @jax.jit
-    def ransac_iter(key, src, dst, mask):
-        idx = sample_without_replacement(key, n_hyp, 4, n_points)
+    def ransac_iter(key):
+        idx = sample_without_replacement(key, n_hyp, 4, 13)
         models, ok = jax.vmap(hops.dlt_homography_minimal)(src[idx], dst[idx])
         counts, msac = pscore.homography_scores(
             models, src, dst, mask, 75.0, interpret=interpret)
@@ -55,28 +88,36 @@ def main():
         best = jnp.argmin(msac)
         return models[best], counts[best], msac[best]
 
-    src_d = jnp.asarray(src)
-    dst_d = jnp.asarray(dst)
-    mask_d = jnp.asarray(mask)
-
-    # Warmup/compile.
-    out = ransac_iter(jax.random.key(0), src_d, dst_d, mask_d)
+    out = ransac_iter(jax.random.key(0))
     jax.block_until_ready(out)
-
-    iters = 30 if platform == "tpu" else 3
     t0 = time.perf_counter()
     for i in range(iters):
-        out = ransac_iter(jax.random.key(i), src_d, dst_d, mask_d)
+        out = ransac_iter(jax.random.key(i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+    return n_hyp / dt
 
-    value = n_hyp / dt
-    baseline_target = 1e5
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        n_hyp, iters = 1 << 22, 20
+        try:
+            value = bench_sweep(n_hyp, iters)
+        except Exception as e:  # pragma: no cover - backend fallback
+            print(f"# sweep kernel unavailable ({type(e).__name__}); "
+                  f"stage-wise fallback", file=sys.stderr)
+            value = bench_stagewise(1 << 18, 10)
+    else:
+        value = bench_stagewise(1 << 12, 3)
+
     print(json.dumps({
         "metric": "ransac_hypotheses_per_s_per_chip",
         "value": value,
         "unit": "hypotheses/s",
-        "vs_baseline": value / baseline_target,
+        "vs_baseline": value / 1e5,
     }))
 
 

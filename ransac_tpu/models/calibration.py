@@ -133,6 +133,57 @@ def calibrate_camera(
     return CalibrationResult(K=K, dist=dist, rvecs=rv, tvecs=tv, rms=rms)
 
 
+def optimal_new_camera_matrix(
+    K: jnp.ndarray, dist: jnp.ndarray, image_size: tuple, alpha: float = 1.0,
+    grid_n: int = 9,
+):
+    """``cv2.getOptimalNewCameraMatrix`` equivalent.
+
+    Samples a grid of border-region points, undistorts them, and derives
+    the outer (all source pixels kept, alpha=1) and inner (no invalid
+    pixels, alpha=0) rectangles; the returned K maps the alpha-interpolated
+    rectangle onto the full image.  Returns (newK, roi=(x, y, w, h)).
+    """
+    W, H = image_size
+    us = jnp.linspace(0.0, W - 1.0, grid_n)
+    vs = jnp.linspace(0.0, H - 1.0, grid_n)
+    UU, VV = jnp.meshgrid(us, vs)
+    pix = jnp.stack([UU.reshape(-1), VV.reshape(-1)], -1)
+    und = undistort_points(pix, K, dist).reshape(grid_n, grid_n, 2)
+
+    outer_x0 = und[..., 0].min()
+    outer_x1 = und[..., 0].max()
+    outer_y0 = und[..., 1].min()
+    outer_y1 = und[..., 1].max()
+    # Inner: tightest bounds over each border row/column.
+    inner_x0 = und[:, 0, 0].max()
+    inner_x1 = und[:, -1, 0].min()
+    inner_y0 = und[0, :, 1].max()
+    inner_y1 = und[-1, :, 1].min()
+
+    a = jnp.clip(jnp.asarray(alpha, und.dtype), 0.0, 1.0)
+    x0 = inner_x0 * (1 - a) + outer_x0 * a
+    x1 = inner_x1 * (1 - a) + outer_x1 * a
+    y0 = inner_y0 * (1 - a) + outer_y0 * a
+    y1 = inner_y1 * (1 - a) + outer_y1 * a
+
+    sx = W / jnp.maximum(x1 - x0, 1e-9)
+    sy = H / jnp.maximum(y1 - y0, 1e-9)
+    newK = jnp.array([
+        [K[0, 0] * sx, 0.0, (K[0, 2] - x0) * sx],
+        [0.0, K[1, 1] * sy, (K[1, 2] - y0) * sy],
+        [0.0, 0.0, 1.0],
+    ], dtype=K.dtype)
+    # Valid-pixel ROI of the inner rectangle inside the new image.
+    rx0 = (inner_x0 - x0) * sx
+    ry0 = (inner_y0 - y0) * sy
+    rx1 = (inner_x1 - x0) * sx
+    ry1 = (inner_y1 - y0) * sy
+    roi = (float(jnp.clip(rx0, 0, W - 1)), float(jnp.clip(ry0, 0, H - 1)),
+           float(jnp.clip(rx1 - rx0, 0, W)), float(jnp.clip(ry1 - ry0, 0, H)))
+    return newK, roi
+
+
 def undistort_points(pixels: jnp.ndarray, K: jnp.ndarray,
                      dist: jnp.ndarray) -> jnp.ndarray:
     """cv2.undistortPoints equivalent (returns pixel coords under K)."""

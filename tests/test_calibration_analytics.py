@@ -104,3 +104,21 @@ def test_nearest_neighbor():
     pts = np.array([[0.0, 0], [3, 4], [10, 0]])
     d = analytics.nearest_neighbor_distances(pts)
     np.testing.assert_allclose(d, [5.0, 5.0, np.hypot(7, 4)])
+
+
+def test_optimal_new_camera_matrix_matches_cv2():
+    from ransac_tpu.models.calibration import optimal_new_camera_matrix
+
+    K = np.array([[800.0, 0, 400.0], [0, 810.0, 300.0], [0, 0, 1.0]])
+    dist = np.array([-0.25, 0.08, 1e-3, -1e-3, 0.0])
+    for alpha in (0.0, 0.5, 1.0):
+        newK, roi = optimal_new_camera_matrix(
+            jnp.asarray(K), jnp.asarray(dist), (800, 600), alpha)
+        K_cv, roi_cv = cv2.getOptimalNewCameraMatrix(K, dist, (800, 600),
+                                                     alpha)
+        nk = np.asarray(newK)
+        assert abs(nk[0, 0] - K_cv[0, 0]) / K_cv[0, 0] < 0.01
+        assert abs(nk[1, 1] - K_cv[1, 1]) / K_cv[1, 1] < 0.01
+        assert abs(nk[0, 2] - K_cv[0, 2]) < 5.0
+        assert abs(nk[1, 2] - K_cv[1, 2]) < 5.0
+        assert abs(roi[0] - roi_cv[0]) <= 2 and abs(roi[1] - roi_cv[1]) <= 2
