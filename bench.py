@@ -98,27 +98,54 @@ def bench_stagewise(n_hyp, iters):
     return n_hyp / dt
 
 
-def main():
-    import jax
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        n_hyp, iters = 1 << 22, 20
-        try:
-            value = bench_sweep(n_hyp, iters)
-        except Exception as e:  # pragma: no cover - backend fallback
-            print(f"# sweep kernel unavailable ({type(e).__name__}); "
-                  f"stage-wise fallback", file=sys.stderr)
-            value = bench_stagewise(1 << 18, 10)
-    else:
-        value = bench_stagewise(1 << 12, 3)
-
+def _emit(value):
     print(json.dumps({
         "metric": "ransac_hypotheses_per_s_per_chip",
         "value": value,
         "unit": "hypotheses/s",
         "vs_baseline": value / 1e5,
     }))
+
+
+def _run_mode(mode):
+    if mode == "sweep":
+        _emit(bench_sweep(1 << 22, 20))
+    else:
+        _emit(bench_stagewise(1 << 18, 10))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--mode":
+        _run_mode(sys.argv[2])
+        return
+
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        _emit(bench_stagewise(1 << 12, 3))
+        return
+
+    # Remote TPU compiles can take minutes and are uncacheable across
+    # processes; run each candidate benchmark in a bounded subprocess and
+    # emit the best result that finished.
+    import subprocess
+
+    # Budgets are dominated by remote-compile latency (~10-18 min for the
+    # fused kernel on the tunnel; steady-state execution is milliseconds).
+    for mode, budget in (("sweep", 1800), ("stagewise", 420)):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode", mode],
+                capture_output=True, text=True, timeout=budget)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            print(f"# {mode} produced no result: {r.stderr[-300:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# {mode} timed out after {budget}s", file=sys.stderr)
+    _emit(0.0)
 
 
 if __name__ == "__main__":

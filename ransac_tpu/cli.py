@@ -202,6 +202,70 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_profile(args):
+    """Speed-of-light utilization report for the hot kernels
+    (BASELINE.md deliverable: 'SoL utilization per chip')."""
+    import jax
+    import jax.numpy as jnp
+
+    from ransac_tpu.ops import homography as hops
+    from ransac_tpu.ops.pallas import score as pscore
+    from ransac_tpu.utils.profiling import SolProfiler
+
+    prof = SolProfiler()
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+    rng = np.random.default_rng(0)
+    n, H = 13, args.hypotheses
+
+    src = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 2)).astype(np.float32))
+    dst = jnp.asarray(rng.uniform(0, 1000, (n, 2)).astype(np.float32))
+    mask = jnp.ones(n, jnp.float32)
+
+    if platform == "tpu":
+        from ransac_tpu.ops.pallas.sweep import homography_ransac_sweep
+
+        def sweep(seed):
+            return homography_ransac_sweep(seed, src, dst, mask, 75.0,
+                                           n_hyp=H)
+
+        prof.measure("fused_ransac_sweep", jax.jit(sweep), 0,
+                     flops=H * (1400 + 22 * n), bytes_moved=H * 28)
+
+    models = jnp.asarray(
+        (np.eye(3)[None] + rng.normal(scale=0.1, size=(H, 3, 3))
+         ).astype(np.float32))
+
+    def score(m):
+        return pscore.homography_scores(m, src, dst, mask, 75.0,
+                                        interpret=interpret)
+
+    prof.measure("pallas_inlier_score", jax.jit(score), models,
+                 flops=H * 14 * 16, bytes_moved=H * (9 + 2) * 4)
+
+    idx = jnp.asarray(rng.integers(0, n, size=(H, 4), dtype=np.int32))
+
+    def solve(i):
+        return jax.vmap(hops.dlt_homography_minimal)(src[i], dst[i])
+
+    prof.measure("dlt_minimal_solve", jax.jit(solve), idx,
+                 flops=H * 700, bytes_moved=H * (32 + 36 + 4))
+
+    print(prof.table())
+    if args.out:
+        import json as jsonmod
+
+        with open(args.out, "w") as f:
+            jsonmod.dump([r.row() for r in prof.reports], f, indent=1)
+        print(f"wrote {args.out}")
+
+    if args.scaling:
+        from ransac_tpu.utils.scaling import measure_scaling, report
+
+        pts = measure_scaling()
+        print(report(pts))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ransac_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -256,6 +320,13 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="one-line JSON benchmark")
     p.set_defaults(fn=_cmd_bench)
+
+    p = sub.add_parser("profile", help="speed-of-light kernel report")
+    p.add_argument("--hypotheses", type=int, default=1 << 20)
+    p.add_argument("--out", default="")
+    p.add_argument("--scaling", action="store_true",
+                   help="also run the multi-device scaling harness")
+    p.set_defaults(fn=_cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)
