@@ -171,6 +171,44 @@ def resample_to_utm(dem: DemLonLat, frame: SceneFrame,
                   dx=spacing_m, dy=spacing_m, frame=frame)
 
 
+def polygon_interior_elevations(dem: DemUtm, polygon_xy: np.ndarray,
+                                spacing_m: float | None = None):
+    """Sample DEM elevations on a grid of points inside a polygon —
+    the ``3D-1.py:44-121`` capability (polygon interior -> elevation
+    samples feeding the terrain mesh).  polygon_xy is [V,2] centered-UTM;
+    returns [M,3] (x, y, z) interior samples."""
+    import jax.numpy as jnp
+
+    poly = np.asarray(polygon_xy, np.float64)
+    if spacing_m is None:
+        spacing_m = max(dem.dx, dem.dy)
+    x0, y0 = poly.min(0)
+    x1, y1 = poly.max(0)
+    xs = np.arange(x0, x1 + spacing_m, spacing_m)
+    ys = np.arange(y0, y1 + spacing_m, spacing_m)
+    XX, YY = np.meshgrid(xs, ys)
+    pts = np.stack([XX.ravel(), YY.ravel()], 1)
+
+    # Even-odd rule point-in-polygon (vectorized).
+    inside = np.zeros(len(pts), bool)
+    n = len(poly)
+    for i in range(n):
+        x1p, y1p = poly[i]
+        x2p, y2p = poly[(i + 1) % n]
+        cond = ((y1p > pts[:, 1]) != (y2p > pts[:, 1]))
+        denom = np.where(y2p == y1p, 1e-30, y2p - y1p)
+        x_int = x1p + (pts[:, 1] - y1p) * (x2p - x1p) / denom
+        inside ^= cond & (pts[:, 0] < x_int)
+    pts = pts[inside]
+    if len(pts) == 0:
+        return np.zeros((0, 3))
+    z = np.asarray(bilinear_sample(
+        jnp.asarray(dem.data), dem.x0, dem.y0, dem.dx, dem.dy,
+        jnp.asarray(pts[:, 0], jnp.float32),
+        jnp.asarray(pts[:, 1], jnp.float32)))
+    return np.concatenate([pts, z[:, None]], axis=1)
+
+
 def synthetic_dem(frame: SceneFrame, extent_m: float = 4000.0,
                   spacing_m: float = 10.0, base_z: float = 0.0,
                   terrain_fn=None) -> DemUtm:

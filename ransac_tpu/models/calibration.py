@@ -195,12 +195,39 @@ def undistort_points(pixels: jnp.ndarray, K: jnp.ndarray,
 
 
 def undistort_image_map(width: int, height: int, K: jnp.ndarray,
-                        dist: jnp.ndarray):
-    """Sampling map for image undistortion (cv2.undistort's remap): for
-    each output pixel, the source pixel to sample."""
-    u, v = jnp.meshgrid(jnp.arange(width, dtype=K.dtype),
-                        jnp.arange(height, dtype=K.dtype))
-    xn = (u - K[0, 2]) / K[0, 0]
-    yn = (v - K[1, 2]) / K[1, 1]
+                        dist: jnp.ndarray, new_K: jnp.ndarray | None = None):
+    """Sampling map for image undistortion (cv2.initUndistortRectifyMap):
+    for each output pixel (under ``new_K``, default K), the distorted
+    source pixel to sample."""
+    if new_K is None:
+        new_K = K
+    u, v = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
+                        jnp.arange(height, dtype=jnp.float32))
+    xn = (u - new_K[0, 2]) / new_K[0, 0]
+    yn = (v - new_K[1, 2]) / new_K[1, 1]
     xd, yd = proj.distort(xn, yn, dist)
     return K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]
+
+
+def undistort_image(img: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
+                    new_K: jnp.ndarray | None = None) -> jnp.ndarray:
+    """cv2.undistort equivalent: bilinear remap of a [H,W] (or [H,W,C])
+    image through the undistortion map."""
+    img = jnp.asarray(img)
+    H, W = img.shape[:2]
+    mx, my = undistort_image_map(W, H, K, dist, new_K)
+    x0 = jnp.clip(jnp.floor(mx).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(my).astype(jnp.int32), 0, H - 2)
+    fx = jnp.clip(mx - x0, 0.0, 1.0)
+    fy = jnp.clip(my - y0, 0.0, 1.0)
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    out = (img[y0, x0] * (1 - fy) * (1 - fx)
+           + img[y0 + 1, x0] * fy * (1 - fx)
+           + img[y0, x0 + 1] * (1 - fy) * fx
+           + img[y0 + 1, x0 + 1] * fy * fx)
+    inside = ((mx >= 0) & (mx <= W - 1) & (my >= 0) & (my <= H - 1))
+    if img.ndim == 3:
+        inside = inside[..., None]
+    return jnp.where(inside, out, 0.0)

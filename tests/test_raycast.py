@@ -237,3 +237,32 @@ def test_utm_resample_consistency():
             dem_utm.dx, dem_utm.dy,
             jnp.float32(e - frame.anchor[0]), jnp.float32(n - frame.anchor[1])))
         assert abs(z_ll - z_utm) < 3.0, (z_ll, z_utm)
+
+
+def test_undistort_image_round_features():
+    import cv2
+
+    from ransac_tpu.models.calibration import undistort_image
+
+    rng = np.random.default_rng(3)
+    img = rng.random((120, 160)).astype(np.float32)
+    K = np.array([[150.0, 0, 80.0], [0, 150.0, 60.0], [0, 0, 1.0]])
+    dist = np.array([-0.2, 0.05, 0.0, 0.0, 0.0])
+    mine = np.asarray(undistort_image(jnp.asarray(img), jnp.asarray(K),
+                                      jnp.asarray(dist)))
+    cv = cv2.undistort(img, K, dist)
+    # Interior agreement (borders differ by OpenCV's edge handling).
+    diff = np.abs(mine[20:-20, 20:-20] - cv[20:-20, 20:-20])
+    assert np.median(diff) < 0.02, np.median(diff)
+
+
+def test_polygon_interior_elevations():
+    frame = flat_frame()
+    dem = demio.synthetic_dem(
+        frame, extent_m=500, spacing_m=10.0,
+        terrain_fn=lambda X, Y: 0.01 * X + 100.0)
+    poly = np.array([[0.0, 0.0], [200.0, 0.0], [200.0, 200.0], [0.0, 200.0]])
+    pts = demio.polygon_interior_elevations(dem, poly, spacing_m=25.0)
+    assert len(pts) > 20
+    assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= 200).all()
+    np.testing.assert_allclose(pts[:, 2], 0.01 * pts[:, 0] + 100.0, atol=0.5)
