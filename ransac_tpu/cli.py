@@ -173,6 +173,48 @@ def _cmd_twoview(args):
         print(f"wrote {args.out}")
 
 
+def _cmd_sfm(args):
+    """Incremental SfM over a track table.
+
+    Track formats: .npz with arrays frame [M], track [M], uv [M,2]; or
+    .json mapping "frame,track" -> [u, v].
+    """
+    from ransac_tpu.pipelines.sfm import incremental_sfm
+    from ransac_tpu.ops.rotation import exp_so3
+    import jax.numpy as jnp
+
+    if args.tracks.endswith(".npz"):
+        d = np.load(args.tracks)
+        tracks = {(int(f), int(t)): np.asarray(uv, np.float64)
+                  for f, t, uv in zip(d["frame"], d["track"], d["uv"])}
+    else:
+        raw = json.load(open(args.tracks, encoding="utf-8"))
+        tracks = {}
+        for k, uv in raw.items():
+            f, t = (int(v) for v in k.split(","))
+            tracks[(f, t)] = np.asarray(uv, np.float64)
+    K = np.loadtxt(args.intrinsics).reshape(3, 3)
+    frames = sorted({f for f, _ in tracks})
+    m = incremental_sfm(tracks, K, frames, seed=args.seed)
+    print(f"registered {len(m.camera_poses)}/{len(frames)} frames, "
+          f"{len(m.points)} map points")
+    for f in sorted(m.camera_poses):
+        p = m.camera_poses[f]
+        R = np.asarray(exp_so3(jnp.asarray(p[:3], jnp.float32)))
+        C = -R.T @ p[3:]
+        print(f"  frame {f}: center=({C[0]:.3f}, {C[1]:.3f}, {C[2]:.3f})")
+    if args.out:
+        np.savez(
+            args.out,
+            frames=np.array(sorted(m.camera_poses)),
+            poses=np.stack([m.camera_poses[f]
+                            for f in sorted(m.camera_poses)]),
+            track_ids=np.array(sorted(m.points)),
+            points=np.stack([m.points[t] for t in sorted(m.points)]),
+        )
+        print(f"wrote {args.out}")
+
+
 def _cmd_intrinsics(args):
     from ransac_tpu.io.tables import read_points_data
     from ransac_tpu.ops.geodesy import SceneFrame
@@ -308,6 +350,13 @@ def main(argv=None):
     p.add_argument("--max-keypoints", type=int, default=1024)
     p.add_argument("--out", default="")
     p.set_defaults(fn=_cmd_twoview)
+
+    p = sub.add_parser("sfm", help="incremental SfM over a track table")
+    p.add_argument("--tracks", required=True, help=".npz or .json tracks")
+    p.add_argument("--intrinsics", required=True, help="3x3 K txt file")
+    p.add_argument("--out", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_sfm)
 
     p = sub.add_parser("intrinsics", help="focal/sensor grid search")
     p.add_argument("--features", required=True)
