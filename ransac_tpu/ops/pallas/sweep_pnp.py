@@ -1,0 +1,342 @@
+"""Fully-fused P3P-RANSAC sweep kernel.
+
+Same design as ``sweep.py`` (the homography sweep) applied to pose
+hypotheses: each lane draws a 3-point minimal sample, solves Grunert's P3P
+in registers — law-of-cosines ratios, resultant quartic solved by the same
+closed-form trigonometric-cubic + Ferrari construction as
+``ops.linalg.solve_quartic_real``, Newton depth polish against the exact
+constraint system via an unrolled 3x3 solve, exact triangle-frame (triad)
+absolute orientation — and scores all correspondences for each of the four
+candidate roots.  Output is per-(hypothesis, root) MSAC/count plus the
+packed sample, 12 B/record of HBM traffic.
+
+This is the BASELINE.json north-star kernel: "massively-parallel RANSAC
+where thousands of minimal-sample hypotheses (P3P/EPnP) are fit and
+inlier-scored per Pallas grid step", replacing
+``cv2.solvePnPRansac(iterationsCount=5000, ...)``
+(``/root/reference/main_v1.py:497-502``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_H = 1024
+MAX_POINTS = 16
+N_ROOTS = 4
+
+
+def _cbrt(x):
+    return jnp.sign(x) * jnp.exp(jnp.log(jnp.abs(x) + 1e-30) / 3.0)
+
+
+def _solve_quartic_vec(b, c, d, e):
+    """Real roots of x^4 + b x^3 + c x^2 + d x + e = 0 on lane vectors.
+    Returns (roots list[4], ok list[4]) — mirrors
+    ops.linalg.solve_quartic_real (monic input)."""
+    shift = b / 4.0
+    b2 = b * b
+    p = c - 3.0 * b2 / 8.0
+    q = d - b * c / 2.0 + b2 * b / 8.0
+    r = e - b * d / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
+
+    # Resolvent cubic m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0: largest root.
+    cb = p
+    cc = p * p / 4.0 - r
+    cd = -q * q / 8.0
+    sh = cb / 3.0
+    pp = cc - cb * cb / 3.0
+    qq = 2.0 * cb**3 / 27.0 - cb * cc / 3.0 + cd
+    disc = (qq / 2.0) ** 2 + (pp / 3.0) ** 3
+    # Trig branch (3 real roots): largest is m0 = 2 sqrt(-p/3) cos(theta/3).
+    p_neg = jnp.minimum(pp, -1e-30)
+    mmag = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    arg = jnp.clip(3.0 * qq / (p_neg * mmag), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    m_trig = mmag * jnp.cos(theta)  # cos(theta) is max over the 3 branches
+    # Cardano branch (1 real root).
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    m_card = _cbrt(-qq / 2.0 + sq) + _cbrt(-qq / 2.0 - sq)
+    m = jnp.where(disc <= 0.0, m_trig, m_card) - sh
+    m = jnp.maximum(m, 1e-12)
+
+    s = jnp.sqrt(2.0 * m)
+    q_term = q / (2.0 * s)
+    base = p / 2.0 + m
+    roots = []
+    ok = []
+    for sign in (1.0, -1.0):
+        ccq = base + sign * q_term
+        disc2 = s * s / 4.0 - ccq
+        good = disc2 >= 0.0
+        sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+        for pm in (1.0, -1.0):
+            roots.append(sign * s / 2.0 + pm * sq2 - shift)
+            ok.append(good)
+    # Newton polish (2 steps) on the monic quartic.
+    for i in range(4):
+        x = roots[i]
+        for _ in range(2):
+            f = (((x + b) * x + c) * x + d) * x + e
+            df = ((4.0 * x + 3.0 * b) * x + 2.0 * c) * x + d
+            x = x - f / jnp.where(jnp.abs(df) < 1e-20, 1e-20, df)
+        roots[i] = x
+    return roots, ok
+
+
+def _make_kernel(n_points: int, n_score: int):
+    def kernel(X_ref, f_ref, pix_ref, mask_ref, thr_ref, bits_ref,
+               fout_ref, iout_ref):
+        thr_sq = thr_ref[0]
+        bits = pltpu.bitcast(bits_ref[...], jnp.uint32)
+
+        # 3-subset Fisher-Yates.
+        idx = []
+        for j in range(3):
+            r = (bits[j, :] % jnp.uint32(n_points - j)).astype(jnp.int32)
+            prev_sorted = []
+            for pv in idx:
+                ins = pv
+                out = []
+                for sv in prev_sorted:
+                    lo = jnp.minimum(sv, ins)
+                    hi = jnp.maximum(sv, ins)
+                    out.append(lo)
+                    ins = hi
+                out.append(ins)
+                prev_sorted = out
+            for sv in prev_sorted:
+                r = r + (r >= sv).astype(jnp.int32)
+            idx.append(r)
+
+        def gather(ref, col, ind):
+            acc = jnp.zeros((BLOCK_H,), jnp.float32)
+            for nn in range(n_points):
+                acc = acc + jnp.where(ind == nn, ref[nn, col], 0.0)
+            return acc
+
+        # World points and unit bearings of the sample.
+        P = [[gather(X_ref, c, idx[j]) for c in range(3)] for j in range(3)]
+        F = [[gather(f_ref, c, idx[j]) for c in range(3)] for j in range(3)]
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        def sub3(a, b):
+            return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
+
+        def norm3(a):
+            return jnp.sqrt(dot3(a, a) + 1e-30)
+
+        cos_a = dot3(F[1], F[2])
+        cos_b = dot3(F[0], F[2])
+        cos_g = dot3(F[0], F[1])
+        a2 = dot3(sub3(P[1], P[2]), sub3(P[1], P[2]))
+        b2 = jnp.maximum(dot3(sub3(P[0], P[2]), sub3(P[0], P[2])), 1e-12)
+        c2 = dot3(sub3(P[0], P[1]), sub3(P[0], P[1]))
+        ra = a2 / b2
+        rc = c2 / b2
+
+        qa2, qa1, qa0 = ra, -2.0 * ra * cos_b, ra
+        qc2, qc1, qc0 = rc, -2.0 * rc * cos_b, rc
+        n2 = 1.0 - qa2 + qc2
+        n1 = -qa1 + qc1
+        n0 = -qa0 - 1.0 + qc0
+        p2_, p1_, p0_ = -qc2, -qc1, 1.0 - qc0
+        d1, d0 = 2.0 * cos_a, -2.0 * cos_g
+
+        c4 = n2 * n2 + p2_ * d1 * d1
+        c3 = (2 * n2 * n1 - 2 * cos_g * (n2 * d1) + 2 * p2_ * d1 * d0
+              + p1_ * d1 * d1)
+        c2_ = (2 * n2 * n0 + n1 * n1 - 2 * cos_g * (n2 * d0 + n1 * d1)
+               + p2_ * d0 * d0 + 2 * p1_ * d1 * d0 + p0_ * d1 * d1)
+        c1 = (2 * n1 * n0 - 2 * cos_g * (n1 * d0 + n0 * d1)
+              + p1_ * d0 * d0 + 2 * p0_ * d1 * d0)
+        c0 = n0 * n0 - 2 * cos_g * (n0 * d0) + p0_ * d0 * d0
+        c4s = jnp.where(jnp.abs(c4) < 1e-12, 1e-12, c4)
+        roots, root_ok = _solve_quartic_vec(
+            c3 / c4s, c2_ / c4s, c1 / c4s, c0 / c4s)
+
+        packed = idx[0] + idx[1] * 16 + idx[2] * 256
+
+        for k in range(N_ROOTS):
+            v = roots[k]
+            D = d1 * v + d0
+            N = (n2 * v + n1) * v + n0
+            u = N / jnp.where(jnp.abs(D) < 1e-9, 1e-9, D)
+            s1 = jnp.sqrt(b2 / jnp.maximum(
+                1.0 + v * v - 2.0 * v * cos_b, 1e-12))
+            s2 = u * s1
+            s3 = v * s1
+            valid = (root_ok[k] & (v > 1e-6) & (u > 1e-6)
+                     & (jnp.abs(D) > 1e-9))
+
+            # Newton polish of depths on the law-of-cosines system
+            # (2 iterations, unrolled 3x3 solve via adjugate).
+            for _ in range(2):
+                r1 = s2 * s2 + s3 * s3 - 2 * s2 * s3 * cos_a - a2
+                r2 = s1 * s1 + s3 * s3 - 2 * s1 * s3 * cos_b - b2
+                r3 = s1 * s1 + s2 * s2 - 2 * s1 * s2 * cos_g - c2
+                # J rows: [0, j12, j13; j21, 0, j23; j31, j32, 0] with
+                # diagonal-ish structure (see ops.pnp).
+                j12 = 2 * s2 - 2 * s3 * cos_a
+                j13 = 2 * s3 - 2 * s2 * cos_a
+                j21 = 2 * s1 - 2 * s3 * cos_b
+                j23 = 2 * s3 - 2 * s1 * cos_b
+                j31 = 2 * s1 - 2 * s2 * cos_g
+                j32 = 2 * s2 - 2 * s1 * cos_g
+                # Solve J ds = -r, J = [[0,j12,j13],[j21,0,j23],[j31,j32,0]]
+                det = (0.0 * (0.0 - j23 * j32) - j12 * (j21 * 0.0 - j23 * j31)
+                       + j13 * (j21 * j32 - 0.0))
+                det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+                # Adjugate columns for rhs -r.
+                b1, b2r, b3 = -r1, -r2, -r3
+                ds1 = (b1 * (0.0 - j23 * j32) - j12 * (b2r * 0.0 - j23 * b3)
+                       + j13 * (b2r * j32 - 0.0 * b3)) / det
+                ds2 = (0.0 * (b2r * 0.0 - j23 * b3) - b1 * (j21 * 0.0 - j23 * j31)
+                       + j13 * (j21 * b3 - b2r * j31)) / det
+                ds3 = (0.0 * (0.0 * b3 - b2r * j32) - j12 * (j21 * b3 - b2r * j31)
+                       + b1 * (j21 * j32 - 0.0)) / det
+                lim1 = 0.1 * jnp.abs(s1) + 1e-6
+                s1 = s1 + jnp.clip(ds1, -lim1, lim1)
+                s2 = s2 + jnp.clip(ds2, -lim1, lim1)
+                s3 = s3 + jnp.clip(ds3, -lim1, lim1)
+            valid = valid & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
+            # Camera-frame points.
+            C = [[F[j][c] * (s1, s2, s3)[j] for c in range(3)]
+                 for j in range(3)]
+
+            # Triad orientation: R maps world->camera, t = c_c - R c_w.
+            def triad(Pts):
+                u1 = sub3(Pts[1], Pts[0])
+                e1n = norm3(u1)
+                e1 = [u1[c] / e1n for c in range(3)]
+                v1 = sub3(Pts[2], Pts[0])
+                d_ = dot3(v1, e1)
+                vp = [v1[c] - d_ * e1[c] for c in range(3)]
+                vpn = norm3(vp)
+                e2 = [vp[c] / vpn for c in range(3)]
+                e3 = [e1[1] * e2[2] - e1[2] * e2[1],
+                      e1[2] * e2[0] - e1[0] * e2[2],
+                      e1[0] * e2[1] - e1[1] * e2[0]]
+                return e1, e2, e3
+
+            ew = triad(P)
+            ec = triad(C)
+            # R = Bc @ Bw^T where columns of B are the triad vectors:
+            # R[r][c] = sum_k ec_k[r] * ew_k[c].
+            R = [[ec[0][r] * ew[0][c] + ec[1][r] * ew[1][c]
+                  + ec[2][r] * ew[2][c] for c in range(3)] for r in range(3)]
+            cw = [(P[0][c] + P[1][c] + P[2][c]) / 3.0 for c in range(3)]
+            ccm = [(C[0][c] + C[1][c] + C[2][c]) / 3.0 for c in range(3)]
+            t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
+                           + R[r][2] * cw[2]) for r in range(3)]
+
+            # Score all points in normalized coords.
+            count = jnp.zeros((BLOCK_H,), jnp.float32)
+            msac = jnp.zeros((BLOCK_H,), jnp.float32)
+            big = jnp.float32(1e12)
+            for nn in range(n_score):
+                Xx = X_ref[nn, 0]
+                Xy = X_ref[nn, 1]
+                Xz = X_ref[nn, 2]
+                px = pix_ref[nn, 0]
+                py = pix_ref[nn, 1]
+                wp = mask_ref[nn]
+                xc = R[0][0] * Xx + R[0][1] * Xy + R[0][2] * Xz + t[0]
+                yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
+                zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
+                behind = zc <= 1e-6
+                inv_z = 1.0 / jnp.where(behind, 1.0, zc)
+                du = xc * inv_z - px
+                dv = yc * inv_z - py
+                e2_ = du * du + dv * dv
+                e2_ = jnp.where(behind, big, e2_)
+                count = count + jnp.where(e2_ <= thr_sq, wp, 0.0)
+                msac = msac + jnp.minimum(e2_, thr_sq) * wp
+
+            msac = jnp.where(valid, msac, jnp.float32(3.4e38))
+            fout_ref[2 * k, :] = msac
+            fout_ref[2 * k + 1, :] = count
+        iout_ref[0, :] = packed
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_hyp", "n_points", "interpret"))
+def pnp_ransac_sweep(
+    seed, Xw: jnp.ndarray, pix_n: jnp.ndarray, point_mask: jnp.ndarray,
+    threshold_n, n_hyp: int, n_points: int | None = None,
+    interpret: bool = False,
+):
+    """Fused P3P sweep on normalized coords.
+
+    Returns (msac [H*4], counts [H*4], packed_idx [H*4]) — 4 root-slots per
+    sampled hypothesis, flattened root-major; ``threshold_n`` is in
+    normalized units (pixel_threshold / focal).
+    """
+    n = Xw.shape[0]
+    if n_points is None:
+        n_points = n
+    assert n <= MAX_POINTS
+    n_blocks = max(n_hyp // BLOCK_H, 1)
+
+    ones = jnp.ones_like(pix_n[..., :1])
+    f = jnp.concatenate([pix_n, ones], -1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    X_p = jnp.zeros((MAX_POINTS, 3), jnp.float32).at[:n].set(Xw)
+    f_p = jnp.zeros((MAX_POINTS, 3), jnp.float32).at[:n].set(f)
+    pix_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(pix_n)
+    mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
+        point_mask.astype(jnp.float32))
+    thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    bits = jax.random.bits(key, (3, n_blocks * BLOCK_H), jnp.uint32)
+
+    kernel = _make_kernel(n_points, n)
+    fout, iout = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # X
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bearings
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pix_n
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
+            pl.BlockSpec((3, BLOCK_H), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),  # bits
+        ],
+        out_specs=(
+            pl.BlockSpec((2 * N_ROOTS, BLOCK_H), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_H), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2 * N_ROOTS, n_blocks * BLOCK_H),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, n_blocks * BLOCK_H), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_hyp * (2500 + 4 * 25 * n), transcendentals=n_hyp * 20,
+            bytes_accessed=n_hyp * 48),
+    )(X_p, f_p, pix_p, mask_p, thr, bits)
+    msac = fout[0::2].reshape(-1)     # root-major [4, H] -> [4H]
+    counts = fout[1::2].reshape(-1)
+    packed = jnp.tile(iout[0], (N_ROOTS,))
+    return msac, counts, packed
+
+
+def unpack_sample3(packed: int) -> np.ndarray:
+    p = int(packed)
+    return np.array([p & 15, (p >> 4) & 15, (p >> 8) & 15], dtype=np.int32)

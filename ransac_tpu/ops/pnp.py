@@ -146,26 +146,35 @@ def p3p_grunert(Xw: jnp.ndarray, pixels_norm: jnp.ndarray):
 
     # Newton polish of the depths on the exact law-of-cosines system —
     # recovers the precision the f32 quartic loses on clustered roots.
+    # The 3x3 solve is closed-form (adjugate): XLA lowers batched
+    # jnp.linalg.solve as a serial per-matrix loop on TPU, which would
+    # throttle the whole hypothesis sweep.
     ca, cb, cg = cos_a[..., None], cos_b[..., None], cos_g[..., None]
     a2e, b2e, c2e = a2[..., None], b2[..., None], c2[..., None]
     for _ in range(3):
-        r1 = s2 * s2 + s3 * s3 - 2.0 * s2 * s3 * ca - a2e
-        r2 = s1 * s1 + s3 * s3 - 2.0 * s1 * s3 * cb - b2e
-        r3 = s1 * s1 + s2 * s2 - 2.0 * s1 * s2 * cg - c2e
-        zero = jnp.zeros_like(s1)
-        J = jnp.stack([
-            jnp.stack([zero, 2 * s2 - 2 * s3 * ca, 2 * s3 - 2 * s2 * ca], -1),
-            jnp.stack([2 * s1 - 2 * s3 * cb, zero, 2 * s3 - 2 * s1 * cb], -1),
-            jnp.stack([2 * s1 - 2 * s2 * cg, 2 * s2 - 2 * s1 * cg, zero], -1),
-        ], axis=-2)
-        r = jnp.stack([r1, r2, r3], -1)
-        J = J + 1e-9 * jnp.eye(3, dtype=J.dtype)
-        ds = jnp.linalg.solve(J, -r[..., None])[..., 0]
-        ds = jnp.clip(ds, -0.1 * jnp.abs(s1[..., None]) - 1e-6,
-                      0.1 * jnp.abs(s1[..., None]) + 1e-6)
-        s1 = s1 + ds[..., 0]
-        s2 = s2 + ds[..., 1]
-        s3 = s3 + ds[..., 2]
+        r1 = -(s2 * s2 + s3 * s3 - 2.0 * s2 * s3 * ca - a2e)
+        r2 = -(s1 * s1 + s3 * s3 - 2.0 * s1 * s3 * cb - b2e)
+        r3 = -(s1 * s1 + s2 * s2 - 2.0 * s1 * s2 * cg - c2e)
+        # J = [[0, j12, j13], [j21, 0, j23], [j31, j32, 0]].
+        j12 = 2 * s2 - 2 * s3 * ca
+        j13 = 2 * s3 - 2 * s2 * ca
+        j21 = 2 * s1 - 2 * s3 * cb
+        j23 = 2 * s3 - 2 * s1 * cb
+        j31 = 2 * s1 - 2 * s2 * cg
+        j32 = 2 * s2 - 2 * s1 * cg
+        det = j13 * j21 * j32 + j12 * j23 * j31
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+        # Cramer's rule with the zero-diagonal structure.
+        ds1 = (r1 * (-j23 * j32) - j12 * (r2 * 0.0 - j23 * r3)
+               + j13 * (r2 * j32 - 0.0)) * inv_det
+        ds2 = (0.0 - r1 * (j21 * 0.0 - j23 * j31)
+               + j13 * (j21 * r3 - r2 * j31)) * inv_det
+        ds3 = (0.0 - j12 * (j21 * r3 - r2 * j31)
+               + r1 * (j21 * j32 - 0.0)) * inv_det
+        lim = 0.1 * jnp.abs(s1) + 1e-6
+        s1 = s1 + jnp.clip(ds1, -lim, lim)
+        s2 = s2 + jnp.clip(ds2, -lim, lim)
+        s3 = s3 + jnp.clip(ds3, -lim, lim)
     valid = valid & (s1 > 0) & (s2 > 0) & (s3 > 0)
 
     # Camera-frame points for all 4 roots: [...,4,3,3].

@@ -92,3 +92,48 @@ def test_scaling_harness():
     assert pts[0].efficiency == 1.0
     txt = report(pts)
     assert "devices" in txt and "eff" in txt
+
+
+def test_pnp_sweep_finds_consensus():
+    from ransac_tpu.ops import pnp as pnp_mod
+    from ransac_tpu.ops import projection as proj
+    from ransac_tpu.ops.pallas.sweep_pnp import (BLOCK_H as PNP_BLOCK,
+                                                 pnp_ransac_sweep,
+                                                 unpack_sample3)
+    from ransac_tpu.ops.rotation import exp_so3
+
+    rng = np.random.default_rng(5)
+    R_true = np.asarray(exp_so3(jnp.asarray(np.array([0.1, -0.2, 0.05]))))
+    t_true = np.array([0.2, -0.1, 6.0])
+    n = 13
+    X = rng.uniform(-2, 2, (n, 3)) * np.array([1, 1, 0.5])
+    K = np.array([[900.0, 0, 400], [0, 900.0, 300], [0, 0, 1]])
+    pix, _ = proj.project_points(
+        jnp.asarray(X), jnp.asarray(R_true), jnp.asarray(t_true),
+        jnp.asarray(K))
+    pix = np.array(pix)
+    pix[10:] += 200.0
+    pixn = np.asarray(proj.normalize_pixels(
+        jnp.asarray(pix, jnp.float32), jnp.asarray(K, jnp.float32)))
+
+    msac, counts, packed = pnp_ransac_sweep(
+        3, jnp.asarray(X, jnp.float32), jnp.asarray(pixn), jnp.ones(n),
+        30.0 / 900.0, n_hyp=PNP_BLOCK, interpret=True)
+    msac, counts, packed = (np.asarray(v) for v in (msac, counts, packed))
+    b = int(np.argmin(msac))
+    assert counts[b] >= 10
+    # Host re-solve of the winning sample reproduces the consensus.
+    s = unpack_sample3(packed[b])
+    assert len(set(s.tolist())) == 3
+    R4, t4, v4 = pnp_mod.p3p_grunert(
+        jnp.asarray(X[s], jnp.float32), jnp.asarray(pixn[s]))
+    best = 0
+    for k in range(4):
+        if not bool(v4[k]):
+            continue
+        pp, z = proj.project_points(
+            jnp.asarray(X, jnp.float32), R4[k], t4[k],
+            jnp.asarray(K, jnp.float32))
+        e = np.linalg.norm(np.asarray(pp) - pix, axis=1)
+        best = max(best, int(((e <= 30) & (np.asarray(z) > 0)).sum()))
+    assert best >= 10
