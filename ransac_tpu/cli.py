@@ -39,7 +39,8 @@ def _cmd_localize(args):
     scene = build_scene(feats, cams)
     cfg = LocalizeConfig(
         ransac=RansacConfig(threshold=args.ransacbound),
-        grid_code_min=args.grid_code_min)
+        grid_code_min=args.grid_code_min,
+        min_pnp_inliers=args.min_pnp_inliers)
     res = localize(scene, (args.width, args.height), cfg, seed=args.seed)
     print(f"best location: index {res.best_index} "
           f"grid={scene.grid_codes[res.best_index]} "
@@ -78,6 +79,23 @@ def _cmd_localize(args):
         dem_ll = load_geotiff(args.dem)
         dem = resample_to_utm(dem_ll, scene.frame, spacing_m=args.dem_spacing)
         origin_local = scene.frame.center(res.camera_origin_utm[None])[0]
+        # Reference altitude clamp (main_v1.py:914-915): camera sits
+        # 1.5 m above the terrain under its (E, N).
+        from ransac_tpu.io.dem import bilinear_sample
+        import jax.numpy as jnp_
+
+        z_dem = float(bilinear_sample(
+            jnp_.asarray(dem.data), dem.x0, dem.y0, dem.dx, dem.dy,
+            jnp_.float32(origin_local[0]), jnp_.float32(origin_local[1])))
+        origin_local = np.array([origin_local[0], origin_local[1],
+                                 z_dem + 1.5])
+        # DEM-bounds sanity check (main_v1.py:921-929).
+        from ransac_tpu.io.dem import in_bounds
+
+        if not bool(in_bounds(dem, origin_local[0], origin_local[1])):
+            print("camera origin outside DEM coverage; "
+                  "skipping geo-inversion")
+            return
         inv = GeoInverter(
             K=res.K, R=res.R, ray_origin=origin_local.astype(np.float64),
             dem=dem, control_pixels=scene.pixels.astype(np.float64),
@@ -142,6 +160,7 @@ def _cmd_run(args):
             dem_spacing=float(job.get("dem_spacing", 10.0)),
             json_file=job.get("json_file", ""),
             query=job.get("query", []), seed=int(job.get("seed", 0)),
+            min_pnp_inliers=int(job.get("min_pnp_inliers", 6)),
             report=bool(job.get("report", False)),
             image=job.get("image_name", ""), interactive=False)
         _cmd_localize(ns)
@@ -325,6 +344,8 @@ def main(argv=None):
     p.add_argument("--observer-height", type=float, default=2.0)
     p.add_argument("--z-mode", dest="z_mode", default="elevation",
                    choices=["elevation", "height_plus_elevation"])
+    p.add_argument("--min-pnp-inliers", dest="min_pnp_inliers", type=int,
+                   default=6, help="PnP inlier guard (main_v1.py:504)")
     p.add_argument("--output", default="")
     p.add_argument("--dem", default="")
     p.add_argument("--dem-spacing", type=float, default=10.0)

@@ -32,38 +32,35 @@ MAX_POINTS = 16
 N_ROOTS = 4
 
 
-def _cbrt(x):
-    return jnp.sign(x) * jnp.exp(jnp.log(jnp.abs(x) + 1e-30) / 3.0)
-
-
 def _solve_quartic_vec(b, c, d, e):
     """Real roots of x^4 + b x^3 + c x^2 + d x + e = 0 on lane vectors.
     Returns (roots list[4], ok list[4]) — mirrors
-    ops.linalg.solve_quartic_real (monic input)."""
+    ops.linalg.solve_quartic_real (monic input).
+
+    The resolvent-cubic largest root is found by Newton iteration started
+    above the Cauchy bound (monotone convergence onto the largest real
+    root) — Mosaic has no acos/trig-cubic path, and this needs only
+    arithmetic + sqrt.
+    """
     shift = b / 4.0
     b2 = b * b
     p = c - 3.0 * b2 / 8.0
     q = d - b * c / 2.0 + b2 * b / 8.0
     r = e - b * d / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
 
-    # Resolvent cubic m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0: largest root.
+    # Resolvent cubic m^3 + cb m^2 + cc m + cd = 0: largest real root.
     cb = p
     cc = p * p / 4.0 - r
     cd = -q * q / 8.0
-    sh = cb / 3.0
-    pp = cc - cb * cb / 3.0
-    qq = 2.0 * cb**3 / 27.0 - cb * cc / 3.0 + cd
-    disc = (qq / 2.0) ** 2 + (pp / 3.0) ** 3
-    # Trig branch (3 real roots): largest is m0 = 2 sqrt(-p/3) cos(theta/3).
-    p_neg = jnp.minimum(pp, -1e-30)
-    mmag = 2.0 * jnp.sqrt(-p_neg / 3.0)
-    arg = jnp.clip(3.0 * qq / (p_neg * mmag), -1.0, 1.0)
-    theta = jnp.arccos(arg) / 3.0
-    m_trig = mmag * jnp.cos(theta)  # cos(theta) is max over the 3 branches
-    # Cardano branch (1 real root).
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    m_card = _cbrt(-qq / 2.0 + sq) + _cbrt(-qq / 2.0 - sq)
-    m = jnp.where(disc <= 0.0, m_trig, m_card) - sh
+    m = 1.0 + jnp.maximum(jnp.abs(cb),
+                          jnp.maximum(jnp.abs(cc), jnp.abs(cd)))
+    for _ in range(30):
+        f = ((m + cb) * m + cc) * m + cd
+        df = (3.0 * m + 2.0 * cb) * m + cc
+        step = f / jnp.where(jnp.abs(df) < 1e-20, 1e-20, df)
+        # Plain Newton from above the largest root is monotone; clamp the
+        # step to keep iterates finite on flat stretches.
+        m = m - jnp.clip(step, -1e6, 1e6)
     m = jnp.maximum(m, 1e-12)
 
     s = jnp.sqrt(2.0 * m)
