@@ -137,3 +137,31 @@ def test_pnp_sweep_finds_consensus():
         e = np.linalg.norm(np.asarray(pp) - pix, axis=1)
         best = max(best, int(((e <= 30) & (np.asarray(z) > 0)).sum()))
     assert best >= 10
+
+
+def test_pnp_sweep_engine_wrapper():
+    from ransac_tpu.ops import projection as proj
+    from ransac_tpu.ops.rotation import exp_so3, geodesic_distance
+
+    rng = np.random.default_rng(9)
+    R_true = np.asarray(exp_so3(jnp.asarray(np.array([0.15, -0.1, 0.08]))))
+    t_true = np.array([0.3, -0.2, 7.0])
+    n = 14
+    X = rng.uniform(-2, 2, (n, 3)) * np.array([1, 1, 0.5])
+    K = np.array([[900.0, 0, 400], [0, 900.0, 300], [0, 0, 1]])
+    pix, _ = proj.project_points(
+        jnp.asarray(X), jnp.asarray(R_true), jnp.asarray(t_true),
+        jnp.asarray(K))
+    pix = np.array(pix)
+    pix[11:] += 150.0
+
+    res = R.ransac_pnp_sweep(
+        jnp.asarray(X, jnp.float32), jnp.asarray(pix, jnp.float32),
+        jnp.asarray(K, jnp.float32), jnp.ones(n),
+        RansacConfig(threshold=8.0, num_hypotheses=1024), 5,
+        focal_px=900.0, interpret=True)
+    assert int(res.num_inliers) >= 11
+    Rm, t = R.pnp_pose_from_result(res)
+    ang = float(geodesic_distance(Rm, jnp.asarray(R_true)))
+    assert ang < 0.01, ang
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=0.05)
