@@ -37,6 +37,15 @@ char* read_file(const char* path, long* size_out) {
   return buf;
 }
 
+// True when a field is empty or whitespace-only — the row-skip predicate
+// shared by both parsers (must match the Python fallback, which drops rows
+// whose first cell is blank: io/tables.py).
+int blank_field(const char* s, long len) {
+  for (long i = 0; i < len; ++i)
+    if (s[i] != ' ' && s[i] != '\t' && s[i] != '\r') return 0;
+  return 1;
+}
+
 // Skip a UTF-8 BOM if present.
 const char* skip_bom(const char* p) {
   if (static_cast<unsigned char>(p[0]) == 0xEF &&
@@ -136,7 +145,7 @@ long fastio_read_numeric(const char* path, const int32_t* col_idx,
       }
       ++col;
     }
-    if (col == 1 && lens[0] == 0) continue;  // blank line
+    if (blank_field(starts[0], lens[0])) continue;  // blank first cell
     for (int32_t c = 0; c < n_cols; ++c) {
       double v = fill_value;
       int32_t ci = col_idx[c];
@@ -177,10 +186,16 @@ long fastio_read_strings(const char* path, int32_t col, char* out,
   while (*p && row < max_rows) {
     int32_t c = 0;
     int row_end = 0;
+    const char* first_s = nullptr;
+    long first_l = 0;
     while (!row_end) {
       const char* s;
       long l;
       row_end = next_field(&p, &s, &l);
+      if (c == 0) {
+        first_s = s;
+        first_l = l;
+      }
       if (c == col) {
         long n = l < width - 1 ? l : width - 1;
         std::memcpy(out + row * width, s, n);
@@ -188,7 +203,7 @@ long fastio_read_strings(const char* path, int32_t col, char* out,
       }
       ++c;
     }
-    if (c == 1) continue;
+    if (blank_field(first_s, first_l)) continue;  // keep in sync w/ numeric
     ++row;
   }
   std::free(buf);

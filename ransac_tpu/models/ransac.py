@@ -113,15 +113,28 @@ def ransac_fit(
         jnp.inf,
     )
 
-    if cfg.selection == "count":
-        # Max count; tie-break on msac via lexicographic trick.
-        score_key = counts.astype(jnp.float32) * 1e9 - msac
-        best = jnp.argmax(score_key)
-    else:
-        best = jnp.argmin(msac)
-
+    best = _select_best(counts, msac, cfg.selection)
     best_mask = inlier[best]
     return flat, valid, counts, msac, best, best_mask
+
+
+def _select_best(counts, msac, selection: str):
+    """Hypothesis selection: 'msac' = min truncated score; 'count' = max
+    inlier count with a true lexicographic MSAC tie-break (a single
+    counts*1e9 - msac float key loses the tie-break to f32 rounding)."""
+    if selection == "count":
+        max_count = jnp.max(counts)
+        tied_msac = jnp.where(counts == max_count, msac, jnp.inf)
+        return jnp.argmin(tied_msac)
+    return jnp.argmin(msac)
+
+
+def _as_seed(key_or_seed):
+    """Accept either a raw integer seed or a typed jax.random key."""
+    dt = getattr(key_or_seed, "dtype", None)
+    if dt is not None and jnp.issubdtype(dt, jax.dtypes.prng_key):
+        return jax.random.randint(key_or_seed, (), 0, 2**31 - 1)
+    return key_or_seed
 
 
 # --------------------------------------------------------------------------
@@ -180,13 +193,20 @@ def ransac_homography_sweep(
     from ransac_tpu.ops.pallas.sweep import (BLOCK_H,
                                              homography_ransac_sweep)
 
-    seed = key_or_seed
+    seed = _as_seed(key_or_seed)
     n_hyp = max(cfg.num_hypotheses, BLOCK_H)
     n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
     msac_all, counts_all, packed_all = homography_ransac_sweep(
         seed, src, dst, point_mask, cfg.threshold, n_hyp=n_hyp,
         interpret=interpret)
-    best = jnp.argmin(msac_all)
+    # The kernel samples over all rows; invalidate hypotheses whose minimal
+    # sample touched a masked-out point (engine sample_ok semantics).
+    pm = jnp.zeros(16, bool).at[:src.shape[0]].set(point_mask.astype(bool))
+    sample_ok = (pm[packed_all & 15] & pm[(packed_all >> 4) & 15]
+                 & pm[(packed_all >> 8) & 15] & pm[(packed_all >> 12) & 15])
+    msac_all = jnp.where(sample_ok, msac_all, jnp.inf)
+    counts_all = jnp.where(sample_ok, counts_all, -1.0)
+    best = _select_best(counts_all, msac_all, cfg.selection)
     sample_packed = packed_all[best]
     sample = jnp.stack([
         sample_packed & 15, (sample_packed >> 4) & 15,
@@ -260,9 +280,18 @@ def ransac_pnp(
     R_ref, t_ref = R_best, t_best
     if cfg.refit:
         w = best_mask.astype(Xw.dtype)
-        rvec0 = log_so3(R_best)
+        # Linear DLT-PnP refit on the inlier set (>=6 effective points),
+        # then LM — the documented cv2-style refit.  Falls back to the raw
+        # P3P winner as the LM seed when the inlier set is too small or
+        # the linear solve degenerates.
+        R_dlt, t_dlt = pnp.dlt_pnp(Xw, pix_n, w)
+        dlt_ok = ((best_mask.sum() >= 6)
+                  & jnp.all(jnp.isfinite(R_dlt)) & jnp.all(jnp.isfinite(t_dlt)))
+        R_seed = jnp.where(dlt_ok, R_dlt, R_best)
+        t_seed = jnp.where(dlt_ok, t_dlt, t_best)
         rvec, tvec, _ = refine_pose(
-            rvec0, t_best, Xw, pixels, K, w, max_iters=max(cfg.refine_iters, 1))
+            log_so3(R_seed), t_seed, Xw, pixels, K, w,
+            max_iters=max(cfg.refine_iters, 1))
         R_lm = exp_so3(rvec)
         ok = jnp.all(jnp.isfinite(rvec)) & jnp.all(jnp.isfinite(tvec))
         R_ref = jnp.where(ok, R_lm, R_best)
@@ -292,9 +321,14 @@ def ransac_pnp_sweep(
     n_hyp = max(cfg.num_hypotheses, BLOCK_H)
     n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
     msac_all, counts_all, packed_all = pnp_ransac_sweep(
-        key_or_seed, Xw, pix_n, point_mask, thr_n, n_hyp=n_hyp,
+        _as_seed(key_or_seed), Xw, pix_n, point_mask, thr_n, n_hyp=n_hyp,
         interpret=interpret)
-    best = jnp.argmin(msac_all)
+    pm = jnp.zeros(16, bool).at[:Xw.shape[0]].set(point_mask.astype(bool))
+    sample_ok = (pm[packed_all & 15] & pm[(packed_all >> 4) & 15]
+                 & pm[(packed_all >> 8) & 15])
+    msac_all = jnp.where(sample_ok, msac_all, jnp.inf)
+    counts_all = jnp.where(sample_ok, counts_all, -1.0)
+    best = _select_best(counts_all, msac_all, cfg.selection)
     packed = packed_all[best]
     sample = jnp.stack([packed & 15, (packed >> 4) & 15, (packed >> 8) & 15])
     R4, t4, v4 = pnp.p3p_grunert(Xw[sample], pix_n[sample])

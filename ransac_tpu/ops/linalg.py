@@ -164,36 +164,8 @@ def solve_unrolled(A: jnp.ndarray, b: jnp.ndarray):
     return x, ok
 
 
-def dominant_eigvec_sym(M: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
-    """Largest-eigenvalue eigenvector of a small symmetric matrix by power
-    iteration with a trace shift (makes the target eigenvalue dominant for
-    PSD-shifted matrices).  Batched, branch-free — replaces jnp.linalg.eigh
-    in per-hypothesis paths."""
-    n = M.shape[-1]
-    # Shift by the Gershgorin lower bound so all eigenvalues are >= 0 and
-    # the algebraically largest is the dominant one.
-    radius = jnp.sum(jnp.abs(M), axis=-1).max(-1)
-    Ms = M + radius[..., None, None] * jnp.eye(n, dtype=M.dtype)
-    v = jnp.ones(M.shape[:-1], M.dtype)
-    for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", Ms, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
-    return v
-
-
 def nullspace_last(A: jnp.ndarray) -> jnp.ndarray:
     """Right-singular vector of the smallest singular value of A [...,m,n]
     — the DLT workhorse (homography, PnP DLT, 8-point)."""
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     return Vt[..., -1, :]
-
-
-def solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0):
-    """Solve (A + damping I) x = b for symmetric PSD A via Cholesky."""
-    from jax.scipy.linalg import solve_triangular
-
-    n = A.shape[-1]
-    Ad = A + damping * jnp.eye(n, dtype=A.dtype)
-    L = jnp.linalg.cholesky(Ad)
-    y = solve_triangular(L, b, lower=True)
-    return solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)

@@ -110,9 +110,20 @@ def _make_kernel(n_points: int, n_score: int):
                u_row(3), v_row(3)]
 
         valid = jnp.ones((BLOCK_H,), jnp.bool_)
-        # Distinct-index guard (degenerate coincident points handled by the
-        # pivot magnitude check below; sampling is already w/o replacement).
         for k in range(8):
+            # Partial pivoting via conditional row swaps (branch-free):
+            # bubble the largest |column-k| entry of rows k..7 into row k.
+            # The structural ordering above guarantees a nonzero pivot
+            # exists for non-degenerate samples; without the swap, a sample
+            # whose point happens to sit at the normalized centroid (x=0)
+            # would be wrongly rejected.
+            for i in range(k + 1, 8):
+                swap = jnp.abs(aug[i][k]) > jnp.abs(aug[k][k])
+                for c in range(k, 9):
+                    a_k = aug[k][c]
+                    a_i = aug[i][c]
+                    aug[k][c] = jnp.where(swap, a_i, a_k)
+                    aug[i][c] = jnp.where(swap, a_k, a_i)
             p = aug[k][k]
             valid = valid & (jnp.abs(p) > 1e-7)
             inv_p = 1.0 / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)

@@ -43,12 +43,14 @@ def initialize_cluster(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address:
+        if num_processes is None:
+            num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        if process_id is None:  # 0 is a legitimate process id
+            process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
-            num_processes=num_processes
-            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=process_id
-            or int(os.environ.get("JAX_PROCESS_ID", "0")),
+            num_processes=num_processes,
+            process_id=process_id,
         )
         log.info("distributed init: %d processes, this is %d",
                  jax.process_count(), jax.process_index())

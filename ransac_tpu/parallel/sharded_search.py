@@ -62,8 +62,11 @@ def distributed_score_candidates(
 ):
     """Full candidate search sharded (data=candidates, model=hypotheses).
 
-    Output is replicated: err1 [C], err2 [C], best index — identical
-    semantics to pipelines.localize.score_candidates.
+    Output is replicated: err1 [C], err2 [C], best index.  Scoring
+    semantics are shared with pipelines.localize.score_candidates
+    (reference_scores); the per-candidate refit here is plain DLT without
+    the final LM polish (a deliberate throughput trade in the distributed
+    path), so scores can differ slightly from the single-mesh pipeline.
     """
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
@@ -101,20 +104,19 @@ def distributed_score_candidates(
         H_best = take(model_all)
         inl = take(mask_all.astype(jnp.float32)) > 0.5
 
-        # Reference err1/err2 scoring on the winning model (SURVEY.md §2.4);
-        # refit on inliers per candidate.
+        # Reference err1/err2 scoring on the winning model: shared helper
+        # from the single-mesh pipeline (pipelines.localize).  The refit
+        # here is plain DLT (no LM polish) — the distributed path trades
+        # that final polish for throughput; scoring semantics are shared.
+        from ransac_tpu.pipelines.localize import reference_scores
+
         def score_one(H_raw, inl_c, pos2, loc):
             w = inl_c.astype(pixels.dtype) * point_mask
             H = hops.dlt_homography(pos2, pixels, w)
             bad = jnp.logical_not(jnp.all(jnp.isfinite(H)))
             H = jnp.where(bad, H_raw, H)
-            pred_pix = hops.apply_h(H, pos2)
-            e1 = jnp.linalg.norm(pred_pix - pixels, axis=-1)
-            err1 = (e1 * w).sum()
-            pred_plane = hops.apply_h(jnp.linalg.inv(H), pixels)
-            e2 = jnp.linalg.norm(pred_plane - pos2, axis=-1)
-            err2 = (e2 * w).sum() + (point_mask.sum() - w.sum()) * rcfg.threshold
-            return err1, err2
+            return reference_scores(H, pos2, pixels, inl_c, point_mask,
+                                    rcfg.threshold)
 
         err1_l, err2_l = jax.vmap(score_one)(H_best, inl, pos2_l, cam_locs_l)
         gate = grid_l >= cfg.grid_code_min
@@ -132,7 +134,8 @@ def distributed_score_candidates(
         out_specs=(P(), P()),
         check_vma=False,
     )(pixels, pos3d, point_mask, cam_locs, grid_codes, key[None])
-    err2_sel = jnp.where(err2 == 0.0, 1e6, err2)
+    # Zero-score and non-finite guard (mirrors pipelines.localize).
+    err2_sel = jnp.where((err2 == 0.0) | ~jnp.isfinite(err2), 1e6, err2)
     best = jnp.argmin(err2_sel)
     return {"err1": err1, "err2": err2, "best": best,
             "best_err2": err2_sel[best]}

@@ -37,6 +37,25 @@ from ransac_tpu.utils.logging import get_logger, metrics, timed
 log = get_logger("localize")
 
 
+def reference_scores(H, pos2, pixels, inlier_mask, point_mask, ransacbound):
+    """The reference's per-candidate (err1, err2) scoring (SURVEY.md §2.4,
+    main_v1.py:332-419): pixel-space error over inliers, plane-space error
+    over inliers plus (#outliers x ransacbound).  Shared by the single- and
+    sharded-mesh search paths.  Non-finite errors (singular H) are replaced
+    by a large finite penalty so masked sums cannot turn into NaN."""
+    inl_f = (inlier_mask & point_mask.astype(bool)).astype(pixels.dtype)
+    pred_pix = hops.apply_h(H, pos2)
+    e1 = jnp.linalg.norm(pred_pix - pixels, axis=-1)
+    e1 = jnp.where(jnp.isfinite(e1), e1, 1e9)
+    err1 = (e1 * inl_f).sum()
+    pred_plane = hops.apply_h(jnp.linalg.inv(H), pixels)
+    e2 = jnp.linalg.norm(pred_plane - pos2, axis=-1)
+    e2 = jnp.where(jnp.isfinite(e2), e2, 1e9)
+    err2 = (e2 * inl_f).sum()
+    n_out = point_mask.sum() - inl_f.sum()
+    return err1, err2 + n_out * ransacbound
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def score_candidates(
     pixels: jnp.ndarray,      # [N,2]
@@ -59,31 +78,22 @@ def score_candidates(
     def per_candidate(loc, key):
         pos2, d_east = proj.east_axis_plane_projection(pos3d, loc)
         res = ransac_mod.ransac_homography(pos2, pixels, point_mask, rcfg, key)
-        H = res.model  # plane -> pixels
-        inl = res.inlier_mask & point_mask.astype(bool)
-        inl_f = inl.astype(pixels.dtype)
-        # err1: pixel-space distance over inliers (main_v1.py:332-347).
-        pred_pix = hops.apply_h(H, pos2)
-        e1 = jnp.linalg.norm(pred_pix - pixels, axis=-1)
-        err1 = (e1 * inl_f).sum()
-        # err2: plane-space distance over inliers + outlier penalty
-        # (main_v1.py:348,419).
-        Hinv = jnp.linalg.inv(H)
-        pred_plane = hops.apply_h(Hinv, pixels)
-        e2 = jnp.linalg.norm(pred_plane - pos2, axis=-1)
-        err2 = (e2 * inl_f).sum()
-        n_good = point_mask.sum()
-        n_out = n_good - inl_f.sum()
-        err2 = err2 + n_out * rcfg.threshold
-        return err1, err2, H, inl, res.num_inliers
+        err1, err2 = reference_scores(
+            res.model, pos2, pixels, res.inlier_mask, point_mask,
+            rcfg.threshold)
+        return err1, err2, res.model, \
+            res.inlier_mask & point_mask.astype(bool), res.num_inliers
 
     keys = jax.random.split(key, cam_locs.shape[0])
     err1, err2, H, inliers, counts = jax.vmap(per_candidate)(cam_locs, keys)
     gate = grid_codes >= cfg.grid_code_min
     err1 = jnp.where(gate, err1, 0.0)
     err2 = jnp.where(gate, err2, 0.0)
-    # Reference argmin semantics (main_v1.py:863-866): zeros -> 1e6.
-    err2_sel = jnp.where(err2 == 0.0, 1e6, err2)
+    # Reference argmin semantics (main_v1.py:863-866): zeros -> 1e6.  Also
+    # guard non-finite scores (a fully-degenerate candidate can yield a
+    # singular refit H whose inv() poisons err2 with NaN, which would
+    # otherwise hijack argmin).
+    err2_sel = jnp.where((err2 == 0.0) | ~jnp.isfinite(err2), 1e6, err2)
     best = jnp.argmin(err2_sel)
     return {
         "err1": err1, "err2": err2, "H": H, "inliers": inliers,
