@@ -82,43 +82,86 @@ def incremental_sfm(
     ba_cfg: BundleAdjustConfig = BundleAdjustConfig(max_iters=15),
     ba_every: int = 1,
     seed: int = 0,
+    checkpoint_dir: str | None = None,
 ) -> SfmMap:
     """Run incremental reconstruction over ``frame_order``.
 
     The world frame is the first camera; global scale is fixed by the
     two-view baseline (unit norm) — standard monocular gauge.
+
+    With ``checkpoint_dir``, the map snapshots after every BA (orbax-backed,
+    utils.checkpointing) and a rerun resumes from the last registered frame
+    instead of recomputing — the reference recomputes its whole search from
+    scratch every run (SURVEY.md §5 "checkpoint/resume: absent").
     """
     m = SfmMap(K=np.asarray(K, np.float64))
+    ckpt = None
+    if checkpoint_dir is not None:
+        from ransac_tpu.utils.checkpointing import CheckpointManager
+
+        ckpt = CheckpointManager(checkpoint_dir)
+        state = ckpt.restore()
+        if state is not None:
+            frames = [int(f) for f in np.atleast_1d(state["frames"])]
+            m.camera_poses = {
+                f: np.asarray(p) for f, p in zip(frames, state["poses"])}
+            m.points = {
+                int(t): np.asarray(x) for t, x in
+                zip(np.atleast_1d(state["track_ids"]), state["points"])}
+            log.info("resumed from checkpoint: %d frames, %d points",
+                     len(m.camera_poses), len(m.points))
+            frame_order = frame_order[:2] + [
+                f for f in frame_order[2:] if f not in m.camera_poses]
+
+    def save_ckpt(step):
+        if ckpt is None or not m.camera_poses:
+            return
+        frames = sorted(m.camera_poses)
+        tids = sorted(m.points)
+        ckpt.save(step, {
+            "frames": np.array(frames),
+            "poses": np.stack([m.camera_poses[f] for f in frames]),
+            "track_ids": np.array(tids),
+            "points": (np.stack([m.points[t] for t in tids])
+                       if tids else np.zeros((0, 3))),
+        })
+
     key = jax.random.key(seed)
     f0, f1 = frame_order[0], frame_order[1]
+    if ckpt is not None and f0 in m.camera_poses and f1 in m.camera_poses:
+        f_boot_done = True
+    else:
+        f_boot_done = False
 
     # ---- two-view bootstrap
-    common = sorted(t for t in {t for f, t in tracks if f == f0}
-                    if (f1, t) in tracks)
-    x1p = np.stack([tracks[(f0, t)] for t in common])
-    x2p = np.stack([tracks[(f1, t)] for t in common])
     Kj = jnp.asarray(K, jnp.float32)
-    x1 = proj.normalize_pixels(jnp.asarray(x1p, jnp.float32), Kj)
-    x2 = proj.normalize_pixels(jnp.asarray(x2p, jnp.float32), Kj)
-    e_cfg = RansacConfig(
-        threshold=(ransac_cfg.threshold / float(K[0, 0])) ** 2,
-        num_hypotheses=ransac_cfg.num_hypotheses, exhaustive=False,
-        selection=ransac_cfg.selection)
-    key, k1 = jax.random.split(key)
-    eres = ransac_mod.ransac_essential(
-        x1, x2, jnp.ones(len(common)), e_cfg, k1)
-    R, t, X, n = epipolar.recover_pose(
-        eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
-    inl = np.asarray(eres.inlier_mask)
-    log.info("bootstrap %d-%d: %d/%d essential inliers, %d cheiral",
-             f0, f1, inl.sum(), len(common), int(n))
-    m.camera_poses[f0] = np.zeros(6)
-    m.camera_poses[f1] = np.concatenate(
-        [np.asarray(log_so3(R), np.float64), np.asarray(t, np.float64)])
-    X = np.asarray(X, np.float64)
-    for i, tr in enumerate(common):
-        if inl[i] and X[i, 2] > 0:
-            m.points[tr] = X[i]
+    if not f_boot_done:
+        common = sorted(t for t in {t for f, t in tracks if f == f0}
+                        if (f1, t) in tracks)
+        x1p = np.stack([tracks[(f0, t)] for t in common])
+        x2p = np.stack([tracks[(f1, t)] for t in common])
+        x1 = proj.normalize_pixels(jnp.asarray(x1p, jnp.float32), Kj)
+        x2 = proj.normalize_pixels(jnp.asarray(x2p, jnp.float32), Kj)
+        e_cfg = RansacConfig(
+            threshold=(ransac_cfg.threshold / float(K[0, 0])) ** 2,
+            num_hypotheses=ransac_cfg.num_hypotheses, exhaustive=False,
+            selection=ransac_cfg.selection)
+        key, k1 = jax.random.split(key)
+        eres = ransac_mod.ransac_essential(
+            x1, x2, jnp.ones(len(common)), e_cfg, k1)
+        R, t, X, n = epipolar.recover_pose(
+            eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
+        inl = np.asarray(eres.inlier_mask)
+        log.info("bootstrap %d-%d: %d/%d essential inliers, %d cheiral",
+                 f0, f1, inl.sum(), len(common), int(n))
+        m.camera_poses[f0] = np.zeros(6)
+        m.camera_poses[f1] = np.concatenate(
+            [np.asarray(log_so3(R), np.float64), np.asarray(t, np.float64)])
+        X = np.asarray(X, np.float64)
+        for i, tr in enumerate(common):
+            if inl[i] and X[i, 2] > 0:
+                m.points[tr] = X[i]
+        save_ckpt(1)
 
     # ---- incremental registration
     for step, f in enumerate(frame_order[2:], start=2):
@@ -179,4 +222,5 @@ def incremental_sfm(
             log.info("BA after frame %d: cost %.4g -> %.4g (%d iters)",
                      f, float(res_ba.initial_cost), float(res_ba.cost),
                      int(res_ba.iterations))
+            save_ckpt(step)
     return m

@@ -125,3 +125,20 @@ def test_incremental_sfm_ate():
     ate = np.sqrt(((C_true - (s * C_est @ R.T + t)) ** 2).sum(1).mean())
     scene_scale = np.abs(C_true).max()
     assert ate < 0.05 * scene_scale, (ate, scene_scale)
+
+
+def test_incremental_sfm_checkpoint_resume(tmp_path):
+    """Interrupted SfM resumes from the checkpoint instead of recomputing
+    (the reference recomputes everything every run, SURVEY.md §5)."""
+    tracks, K, poses_true, X_true = synth_tracks(seed=7)
+    ck = str(tmp_path / "ckpt")
+    # First run: only frames 0-3.
+    m1 = incremental_sfm(tracks, K, [0, 1, 2, 3], seed=0, checkpoint_dir=ck)
+    assert len(m1.camera_poses) == 4
+    # Second run over all frames resumes (frames 2-3 must not recompute:
+    # their poses come back identical from the checkpoint).
+    m2 = incremental_sfm(tracks, K, list(range(6)), seed=0,
+                         checkpoint_dir=ck)
+    assert len(m2.camera_poses) == 6
+    # Frames registered before the resume exist and the map grew.
+    assert len(m2.points) >= len(m1.points)
