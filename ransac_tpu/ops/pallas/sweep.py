@@ -110,14 +110,17 @@ def _make_kernel(n_points: int, n_score: int):
                u_row(3), v_row(3)]
 
         valid = jnp.ones((BLOCK_H,), jnp.bool_)
+        # Group-restricted partial pivoting (branch-free conditional row
+        # swaps).  Without pivoting, a sample point at the normalized
+        # centroid (x = 0) zeroes the structural pivot and a solvable
+        # sample is wrongly rejected.  Swapping only within each structural
+        # group is sufficient: rows outside the group have *structural*
+        # zeros in the pivot column (v-rows in cols 0-2, u3 in cols 3-5),
+        # so they can never offer a better pivot.  Groups: rows 0-2
+        # (u0..u2), rows 3-5 (v0..v2), rows 6-7 (u3, v3).
+        group_end = {0: 3, 1: 3, 2: 3, 3: 6, 4: 6, 5: 6, 6: 8, 7: 8}
         for k in range(8):
-            # Partial pivoting via conditional row swaps (branch-free):
-            # bubble the largest |column-k| entry of rows k..7 into row k.
-            # The structural ordering above guarantees a nonzero pivot
-            # exists for non-degenerate samples; without the swap, a sample
-            # whose point happens to sit at the normalized centroid (x=0)
-            # would be wrongly rejected.
-            for i in range(k + 1, 8):
+            for i in range(k + 1, group_end[k]):
                 swap = jnp.abs(aug[i][k]) > jnp.abs(aug[k][k])
                 for c in range(k, 9):
                     a_k = aug[k][c]
