@@ -180,3 +180,27 @@ def test_location_csv_export(tmp_path, result):
     # Column layout: id, err1, err2, grid, E, N, z (main_v1.py:283).
     r0 = rows[1]
     assert float(r0[4]) > 7e5 and float(r0[5]) > 2.8e6
+
+
+def test_second_image_parity_1900_1910():
+    """Multi-image path (main_v1.py images_info[1] is the 1900-1910 photo):
+    decision parity against the cv2 oracle on the second image's columns."""
+    feats = read_points_data(FEATURES, "Pixel_x_1900-1910.jpg",
+                             "Pixel_y_1900-1910.jpg")
+    cams = read_camera_locations(CAMERAS)
+    sc = build_scene(feats, cams)
+    assert len(sc.pixels) == 16  # annotated features for this image
+    res = localize(sc, (2476, 1920), LocalizeConfig(), seed=0)
+    err1_cv, err2_cv = cv2_oracle_scores(sc)
+    sel = np.where(err2_cv == 0, 1e6, err2_cv)
+    best_cv = int(np.argmin(sel))
+    mine = np.where(res.err2 == 0, 1e6, res.err2)
+    # This image sits on a broad score plateau: dozens of candidates tie
+    # within 0.1% of err2, and the exhaustive search legitimately lands on
+    # a (slightly better-scoring) different plateau cluster than OpenCV's
+    # randomized search.  Decision parity on a plateau = our winner must
+    # dominate the oracle's objective, and the oracle's winner must look
+    # equally good under our scoring (mutual near-tie).
+    assert mine[res.best_index] <= sel[best_cv] * 1.001, \
+        (float(mine[res.best_index]), float(sel[best_cv]))
+    assert mine[best_cv] <= sel[best_cv] * 1.01
