@@ -40,6 +40,11 @@ def eight_point(
         A = A * weights[..., None]
     f = nullspace_last(A)
     F = f.reshape(*f.shape[:-1], 3, 3)
+    # Denormalize FIRST: the Hartley transforms are not orthogonal, so
+    # singular-value constraints enforced in the normalized frame do not
+    # survive denormalization (enforcing sigma1=sigma2 there visibly
+    # distorts an exact essential matrix and costs inliers).
+    F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     U, S, Vt = jnp.linalg.svd(F)
     if essential:
         s = (S[..., 0] + S[..., 1]) / 2.0
@@ -47,7 +52,6 @@ def eight_point(
     else:
         S2 = S.at[..., 2].set(0.0)
     F = (U * S2[..., None, :]) @ Vt
-    F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     norm = jnp.linalg.norm(F.reshape(*F.shape[:-2], 9), axis=-1)
     return F / jnp.maximum(norm, 1e-12)[..., None, None]
 

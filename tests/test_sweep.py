@@ -165,3 +165,40 @@ def test_pnp_sweep_engine_wrapper():
     ang = float(geodesic_distance(Rm, jnp.asarray(R_true)))
     assert ang < 0.01, ang
     np.testing.assert_allclose(np.asarray(t), t_true, atol=0.05)
+
+
+def test_essential_sweep_finds_consensus():
+    from ransac_tpu.ops import epipolar
+    from ransac_tpu.ops.pallas.sweep_essential import (
+        BLOCK_H as E_BLOCK, essential_ransac_sweep, unpack_sample8)
+    from ransac_tpu.ops.rotation import exp_so3
+
+    rng = np.random.default_rng(3)
+    n = 16
+    Xw = rng.uniform(-1, 1, size=(n, 3)) * np.array([2, 2, 1]) + [0, 0, 5]
+    Rm = np.asarray(exp_so3(jnp.asarray(rng.normal(size=3) * 0.1)))
+    t = np.array([1.0, 0.05, 0.1])
+    t /= np.linalg.norm(t)
+    x1 = (Xw[:, :2] / Xw[:, 2:]).astype(np.float32)
+    Xc2 = Xw @ Rm.T + t
+    x2 = (Xc2[:, :2] / Xc2[:, 2:]).astype(np.float32)
+    x2[12:] += rng.uniform(0.1, 0.3, size=(4, 2)) * rng.choice(
+        [-1, 1], (4, 2))
+    thr = (2.0 / 600.0) ** 2
+
+    msac, counts, packed = essential_ransac_sweep(
+        3, jnp.asarray(x1), jnp.asarray(x2), jnp.ones(n), thr,
+        n_hyp=2 * E_BLOCK, interpret=True)
+    msac, counts, packed = (np.asarray(v) for v in (msac, counts, packed))
+    b = int(np.argmin(msac))
+    assert counts[b] >= 12
+    s = unpack_sample8(packed[b])
+    assert len(set(s.tolist())) == 8
+    assert all(i < 12 for i in s)  # winning sample is outlier-free
+    # Host re-solve (SVD + rank-2 + essential averaging after
+    # denormalization) reproduces the consensus.
+    E = epipolar.eight_point(jnp.asarray(x1[s]), jnp.asarray(x2[s]),
+                             essential=True)
+    d = np.asarray(epipolar.sampson_distance(
+        E, jnp.asarray(x1), jnp.asarray(x2)))
+    assert (d <= thr).sum() >= 12
