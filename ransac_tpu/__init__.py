@@ -32,7 +32,39 @@ one geometry core shared by every pipeline.
 __version__ = "0.1.0"
 
 from ransac_tpu.utils.config import (  # noqa: F401
+    BundleAdjustConfig,
     LocalizeConfig,
     RansacConfig,
     RaycastConfig,
+    TwoViewConfig,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import ransac_tpu` light)."""
+    if name in ("localize", "score_candidates"):
+        from ransac_tpu.pipelines import localize as _m
+
+        return getattr(_m, name)
+    if name in ("build_scene", "read_camera_locations", "read_points_data"):
+        from ransac_tpu.io import tables as _m
+
+        return getattr(_m, name)
+    if name in ("ransac_homography", "ransac_pnp", "ransac_essential",
+                "ransac_homography_sweep", "ransac_pnp_sweep"):
+        from ransac_tpu.models import ransac as _m
+
+        return getattr(_m, name)
+    if name == "two_view_pipeline":
+        from ransac_tpu.pipelines.twoview import two_view_pipeline
+
+        return two_view_pipeline
+    if name == "incremental_sfm":
+        from ransac_tpu.pipelines.sfm import incremental_sfm
+
+        return incremental_sfm
+    if name == "bundle_adjust":
+        from ransac_tpu.ba.bundle import bundle_adjust
+
+        return bundle_adjust
+    raise AttributeError(name)
