@@ -101,6 +101,83 @@ def score_candidates(
     }
 
 
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def score_candidates_sweep(
+    pixels: jnp.ndarray,
+    pos3d: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    cam_locs: jnp.ndarray,
+    grid_codes: jnp.ndarray,
+    cfg: LocalizeConfig,
+    interpret: bool = False,
+):
+    """score_candidates through the candidate-axis fused Pallas sweep
+    (ops.pallas.sweep_multi): the full (C candidates x exhaustive C(N,4)
+    hypotheses) hypothesize-and-verify runs as ONE kernel launch; only the
+    per-candidate winner is re-solved, refit (+LM) and reference-scored.
+
+    Semantics match ``score_candidates`` (same exhaustive sample set, same
+    MSAC selection, same refit and err1/err2 scoring).
+    """
+    import math as _math
+    from itertools import combinations as _combos
+
+    from ransac_tpu.ops.pallas.sweep_multi import (BLOCK_H,
+                                                   multi_candidate_sweep)
+
+    rcfg = cfg.ransac
+    n = pixels.shape[0]
+    combos = np.array(list(_combos(range(n), 4)), dtype=np.int32)  # [S,4]
+    S = len(combos)
+    H = -(-S // BLOCK_H) * BLOCK_H
+    idx = np.zeros((4, H), np.int32)
+    idx[:, :S] = combos.T
+    idx[:, S:] = combos.T[:, :1]  # pad with a duplicate sample
+    idx_j = jnp.asarray(idx)
+
+    pos2_all, _ = proj.east_axis_plane_projection(
+        pos3d[None, :, :], cam_locs)  # [C,N,2]
+    msac, counts, packed = multi_candidate_sweep(
+        pos2_all, pixels, point_mask, idx_j, rcfg.threshold,
+        interpret=interpret)
+
+    best_h = jnp.argmin(msac, axis=1)                      # [C]
+    packed_best = packed[best_h]                           # [C]
+    sample = jnp.stack([packed_best & 15, (packed_best >> 4) & 15,
+                        (packed_best >> 8) & 15,
+                        (packed_best >> 12) & 15], axis=1)  # [C,4]
+
+    def per_candidate(pos2, samp):
+        H_best, ok = hops.dlt_homography_minimal(pos2[samp], pixels[samp])
+        errs = hops.transfer_errors(H_best, pos2, pixels)
+        thr_sq = rcfg.threshold * rcfg.threshold
+        inl = (errs * errs <= thr_sq) & point_mask.astype(bool)
+        H_ref = H_best
+        if rcfg.refit:
+            w = inl.astype(pixels.dtype)
+            H_ref = hops.dlt_homography(pos2, pixels, w)
+            if rcfg.refine_iters > 0:
+                H_ref, _ = refine_homography(
+                    H_ref, pos2, pixels, w, max_iters=rcfg.refine_iters)
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(H_ref)))
+            H_ref = jnp.where(bad, H_best, H_ref)
+        err1, err2 = reference_scores(
+            H_ref, pos2, pixels, inl, point_mask, rcfg.threshold)
+        return err1, err2, H_ref, inl
+
+    err1, err2, Hm, inliers = jax.vmap(per_candidate)(pos2_all, sample)
+    gate = grid_codes >= cfg.grid_code_min
+    err1 = jnp.where(gate, err1, 0.0)
+    err2 = jnp.where(gate, err2, 0.0)
+    err2_sel = jnp.where((err2 == 0.0) | ~jnp.isfinite(err2), 1e6, err2)
+    best = jnp.argmin(err2_sel)
+    return {
+        "err1": err1, "err2": err2, "H": Hm, "inliers": inliers,
+        "counts": inliers.sum(-1), "best": best,
+        "best_err2": err2_sel[best],
+    }
+
+
 @dataclass
 class LocalizationResult:
     best_index: int

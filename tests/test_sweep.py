@@ -202,3 +202,32 @@ def test_essential_sweep_finds_consensus():
     d = np.asarray(epipolar.sampson_distance(
         E, jnp.asarray(x1), jnp.asarray(x2)))
     assert (d <= thr).sum() >= 12
+
+
+def test_multi_candidate_sweep_matches_engine_on_reference_data():
+    """The candidate-axis fused search reproduces score_candidates exactly
+    on the real 1898 workload (same exhaustive samples, refit, scoring)."""
+    import pytest
+
+    from tests.conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference data absent")
+    from tests.test_localize_parity import load_scene
+
+    from ransac_tpu.pipelines.localize import (score_candidates,
+                                               score_candidates_sweep)
+    from ransac_tpu.utils.config import LocalizeConfig
+
+    scene = load_scene()
+    cfg = LocalizeConfig()
+    args = (jnp.asarray(scene.pixels), jnp.asarray(scene.pos3d),
+            jnp.asarray(scene.point_mask), jnp.asarray(scene.cam_locs),
+            jnp.asarray(scene.grid_codes))
+    out_s = score_candidates_sweep(*args, cfg, interpret=True)
+    out_e = score_candidates(*args, cfg, jax.random.key(0))
+    assert int(out_s["best"]) == int(out_e["best"])
+    np.testing.assert_allclose(np.asarray(out_s["err2"]),
+                               np.asarray(out_e["err2"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_s["err1"]),
+                               np.asarray(out_e["err1"]), atol=1e-3)
