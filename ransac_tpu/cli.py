@@ -41,7 +41,8 @@ def _cmd_localize(args):
         ransac=RansacConfig(threshold=args.ransacbound),
         grid_code_min=args.grid_code_min,
         min_pnp_inliers=args.min_pnp_inliers)
-    res = localize(scene, (args.width, args.height), cfg, seed=args.seed)
+    res = localize(scene, (args.width, args.height), cfg, seed=args.seed,
+                   use_sweep=args.sweep)
     print(f"best location: index {res.best_index} "
           f"grid={scene.grid_codes[res.best_index]} "
           f"utm=({res.best_location_utm[0]:.2f}, "
@@ -161,6 +162,7 @@ def _cmd_run(args):
             json_file=job.get("json_file", ""),
             query=job.get("query", []), seed=int(job.get("seed", 0)),
             min_pnp_inliers=int(job.get("min_pnp_inliers", 6)),
+            sweep=bool(job.get("sweep", False)),
             report=bool(job.get("report", False)),
             image=job.get("image_name", ""), interactive=False)
         _cmd_localize(ns)
@@ -346,6 +348,8 @@ def main(argv=None):
                    choices=["elevation", "height_plus_elevation"])
     p.add_argument("--min-pnp-inliers", dest="min_pnp_inliers", type=int,
                    default=6, help="PnP inlier guard (main_v1.py:504)")
+    p.add_argument("--sweep", action="store_true",
+                   help="use the fused candidate-axis Pallas search")
     p.add_argument("--output", default="")
     p.add_argument("--dem", default="")
     p.add_argument("--dem-spacing", type=float, default=10.0)
