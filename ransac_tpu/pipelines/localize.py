@@ -119,7 +119,6 @@ def score_candidates_sweep(
     Semantics match ``score_candidates`` (same exhaustive sample set, same
     MSAC selection, same refit and err1/err2 scoring).
     """
-    import math as _math
     from itertools import combinations as _combos
 
     from ransac_tpu.ops.pallas.sweep_multi import (BLOCK_H,

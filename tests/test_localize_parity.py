@@ -204,3 +204,53 @@ def test_second_image_parity_1900_1910():
     assert mine[res.best_index] <= sel[best_cv] * 1.001, \
         (float(mine[res.best_index]), float(sel[best_cv]))
     assert mine[best_cv] <= sel[best_cv] * 1.01
+
+
+def test_planar_schema_end_to_end(tmp_path):
+    """process.py's alternate CSV schema (planar coords, symbol at col 6,
+    camera pos3d=[height,x,y], ransacbound 120, grid_code_min=7 —
+    process.py:297-398): synthesize matching CSVs and localize."""
+    import csv as csvmod
+
+    import jax.numpy as jnp
+
+    from ransac_tpu.ops import homography as hops
+
+    rng = np.random.default_rng(11)
+    cam = np.array([-400.0, 0.0, 30.0])
+    X = rng.uniform(-80, 80, size=(12, 3)) + np.array([0, 0, 60.0])
+    p = X - cam
+    pos2 = np.stack([p[:, 2] / p[:, 0], p[:, 1] / p[:, 0]], 1)
+    H_true = np.array([[800.0, 10, 400], [-12, 760, 300], [1e-3, 1e-3, 1]])
+    pix = np.asarray(hops.apply_h(jnp.asarray(H_true), jnp.asarray(pos2)))
+
+    fcsv = tmp_path / "features.csv"
+    with open(fcsv, "w", newline="") as f:
+        w = csvmod.writer(f)
+        # planar schema: name col1, height col2, x col3, y col4, elev col5,
+        # symbol col6 (process.py:311-314), pixel cols by header name.
+        w.writerow(["id", "name", "h", "x", "y", "elev", "sym",
+                    "Pixel_x_img", "Pixel_y_img"])
+        for i in range(12):
+            w.writerow([i, f"name{i}", 1.0, X[i, 0], X[i, 1], X[i, 2] - 1.0,
+                        f"S{i}", int(pix[i, 0]), int(pix[i, 1])])
+    ccsv = tmp_path / "cams.csv"
+    with open(ccsv, "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerow(["id", "pad", "grid", "x", "y", "elev"])
+        cands = cam + rng.normal(scale=60.0, size=(10, 3))
+        cands[4] = cam
+        for i, c in enumerate(cands):
+            # grid col2, x col3, y col4, elev col5 (process.py:341-343).
+            w.writerow([i, 0, 7 + (i % 3), c[0], c[1], c[2] - 2.0])
+
+    feats = read_points_data(str(fcsv), "Pixel_x_img", "Pixel_y_img",
+                             schema="planar")
+    cams = read_camera_locations(str(ccsv), schema="planar")
+    assert len(feats) == 12 and len(cams) == 10
+    scene = build_scene(feats, cams)
+    from ransac_tpu.utils.config import RansacConfig
+
+    res = localize(scene, (800, 600), LocalizeConfig(
+        ransac=RansacConfig(threshold=120.0), grid_code_min=7), seed=0)
+    assert res.best_index == 4
