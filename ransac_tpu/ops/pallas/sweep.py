@@ -29,6 +29,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_H = 2048
+# Hypotheses are held as 2-D [SUB, LAN] vectors: Mosaic lays 1-D arrays out
+# on a single sublane (1/8 of each (8,128) vreg), so 2-D tiles use the VPU
+# at full width.
+SUB = 8
+LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 
 
@@ -38,7 +43,7 @@ def _make_kernel(n_points: int, n_score: int):
     def kernel(src_ref, dst_ref, mask_ref, thr_ref, bits_ref,
                fbest_ref, ibest_ref):
         thr_sq = thr_ref[0]
-        # Counter-based random bits are streamed in ([4, BLOCK_H] per
+        # Counter-based random bits are streamed in ([4, SUB, LAN] per
         # block, 16 B/hypothesis): testable on every backend, and trivial
         # against the >400 fused ops the kernel performs per hypothesis.
         bits = pltpu.bitcast(bits_ref[...], jnp.uint32)
@@ -46,7 +51,7 @@ def _make_kernel(n_points: int, n_score: int):
         # Fisher-Yates: draw r_j in [0, n-j), shift past earlier picks.
         idx = []
         for j in range(4):
-            r = (bits[j, :] % jnp.uint32(n_points - j)).astype(jnp.int32)
+            r = (bits[j] % jnp.uint32(n_points - j)).astype(jnp.int32)
             prev_sorted = []
             for p in idx:
                 ins = p
@@ -64,7 +69,7 @@ def _make_kernel(n_points: int, n_score: int):
 
         # Gather sampled coordinates by one-hot accumulation from SMEM.
         def gather(ref, col, ind):
-            acc = jnp.zeros((BLOCK_H,), jnp.float32)
+            acc = jnp.zeros((SUB, LAN), jnp.float32)
             for n in range(n_points):
                 acc = acc + jnp.where(ind == n, ref[n, col], 0.0)
             return acc
@@ -94,8 +99,8 @@ def _make_kernel(n_points: int, n_score: int):
         # [u0,u1,u2, v0,v1,v2, u3,v3] keeps a structurally nonzero pivot at
         # every step (near-zero pivots from degenerate samples are caught
         # by the validity check).
-        one = jnp.ones((BLOCK_H,), jnp.float32)
-        zero = jnp.zeros((BLOCK_H,), jnp.float32)
+        one = jnp.ones((SUB, LAN), jnp.float32)
+        zero = jnp.zeros((SUB, LAN), jnp.float32)
 
         def u_row(j):
             x, y, u = sxn[j], syn[j], dxn[j]
@@ -109,7 +114,7 @@ def _make_kernel(n_points: int, n_score: int):
                v_row(0), v_row(1), v_row(2),
                u_row(3), v_row(3)]
 
-        valid = jnp.ones((BLOCK_H,), jnp.bool_)
+        valid = jnp.ones((SUB, LAN), jnp.bool_)
         # Group-restricted partial pivoting (branch-free conditional row
         # swaps).  Without pivoting, a sample point at the normalized
         # centroid (x = 0) zeroes the structural pivot and a solvable
@@ -162,8 +167,8 @@ def _make_kernel(n_points: int, n_score: int):
         ]
 
         # Score all points.
-        count = jnp.zeros((BLOCK_H,), jnp.float32)
-        msac = jnp.zeros((BLOCK_H,), jnp.float32)
+        count = jnp.zeros((SUB, LAN), jnp.float32)
+        msac = jnp.zeros((SUB, LAN), jnp.float32)
         for n in range(n_score):
             x = src_ref[n, 0]
             y = src_ref[n, 1]
@@ -183,9 +188,9 @@ def _make_kernel(n_points: int, n_score: int):
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         packed = (idx[0] + idx[1] * 16 + idx[2] * 256 + idx[3] * 4096)
         # Per-hypothesis records (12 B each; the argmin runs in XLA).
-        fbest_ref[0, :] = msac
-        fbest_ref[1, :] = count
-        ibest_ref[0, :] = packed
+        fbest_ref[0] = msac
+        fbest_ref[1] = count
+        ibest_ref[0] = packed
 
     return kernel
 
@@ -216,7 +221,9 @@ def homography_ransac_sweep(
         point_mask.astype(jnp.float32))
     thr = jnp.asarray(threshold, jnp.float32).reshape(1) ** 2
     key = jax.random.key(jnp.asarray(seed, jnp.uint32))
-    bits = jax.random.bits(key, (4, n_blocks * BLOCK_H), jnp.uint32)
+    # Hypothesis (s, b, l) lives at flat index s*(n_blocks*LAN) + b*LAN + l;
+    # all tensors below use that order consistently.
+    bits = jax.random.bits(key, (4, SUB, n_blocks * LAN), jnp.uint32)
 
     kernel = _make_kernel(n_points, n)
     fbest, ibest = pl.pallas_call(
@@ -227,25 +234,26 @@ def homography_ransac_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dst
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
-            pl.BlockSpec((4, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((4, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),  # random bits
         ],
         out_specs=(
-            pl.BlockSpec((2, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((2, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((2, n_blocks * BLOCK_H), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_blocks * BLOCK_H), jnp.int32),
+            jax.ShapeDtypeStruct((2, SUB, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_hyp * (1400 + 22 * n), transcendentals=n_hyp * 8,
             bytes_accessed=n_blocks * 16),
     )(src_p, dst_p, mask_p, thr, bits)
-    return fbest[0], fbest[1], ibest[0]
+    return (fbest[0].reshape(-1), fbest[1].reshape(-1),
+            ibest[0].reshape(-1))
 
 
 def unpack_sample(packed: int) -> np.ndarray:

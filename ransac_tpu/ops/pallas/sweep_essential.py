@@ -25,6 +25,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_H = 1024
+SUB = 8
+LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 
 
@@ -37,7 +39,7 @@ def _make_kernel(n_points: int, n_score: int):
         # 8-subset Fisher-Yates.
         idx = []
         for j in range(8):
-            r = (bits[j, :] % jnp.uint32(n_points - j)).astype(jnp.int32)
+            r = (bits[j] % jnp.uint32(n_points - j)).astype(jnp.int32)
             prev_sorted = []
             for pv in idx:
                 ins = pv
@@ -54,7 +56,7 @@ def _make_kernel(n_points: int, n_score: int):
             idx.append(r)
 
         def gather(ref, col, ind):
-            acc = jnp.zeros((BLOCK_H,), jnp.float32)
+            acc = jnp.zeros((SUB, LAN), jnp.float32)
             for nn in range(n_points):
                 acc = acc + jnp.where(ind == nn, ref[nn, col], 0.0)
             return acc
@@ -78,13 +80,13 @@ def _make_kernel(n_points: int, n_score: int):
 
         # Epipolar rows with f33 = 1:
         #   [u2u1, u2v1, u2, v2u1, v2v1, v2, u1, v1] f8 = -1
-        one = jnp.ones((BLOCK_H,), jnp.float32)
+        one = jnp.ones((SUB, LAN), jnp.float32)
         aug = []
         for j in range(8):
             a, b, c, d = u1n[j], v1n[j], u2n[j], v2n[j]
             aug.append([c * a, c * b, c, d * a, d * b, d, a, b, -one])
 
-        valid = jnp.ones((BLOCK_H,), jnp.bool_)
+        valid = jnp.ones((SUB, LAN), jnp.bool_)
         # Full partial pivoting (no structural zeros in this system).
         for k in range(8):
             for i in range(k + 1, 8):
@@ -101,7 +103,7 @@ def _make_kernel(n_points: int, n_score: int):
                 f = aug[i][k] * inv_p
                 for c in range(k + 1, 9):
                     aug[i][c] = aug[i][c] - f * aug[k][c]
-        f8 = [jnp.zeros((BLOCK_H,), jnp.float32)] * 8
+        f8 = [jnp.zeros((SUB, LAN), jnp.float32)] * 8
         for k in range(7, -1, -1):
             acc = aug[k][8]
             for c in range(k + 1, 8):
@@ -127,8 +129,8 @@ def _make_kernel(n_points: int, n_score: int):
             G[6] * s1, G[7] * s1, -s1 * (G[6] * m1x + G[7] * m1y) + G[8],
         ]
 
-        count = jnp.zeros((BLOCK_H,), jnp.float32)
-        msac = jnp.zeros((BLOCK_H,), jnp.float32)
+        count = jnp.zeros((SUB, LAN), jnp.float32)
+        msac = jnp.zeros((SUB, LAN), jnp.float32)
         for nn in range(n_score):
             a = x1_ref[nn, 0]
             b = x1_ref[nn, 1]
@@ -153,9 +155,9 @@ def _make_kernel(n_points: int, n_score: int):
         packed = idx[0]
         for j in range(1, 8):
             packed = packed | (idx[j] << (4 * j))
-        fout_ref[0, :] = msac
-        fout_ref[1, :] = count
-        iout_ref[0, :] = packed
+        fout_ref[0] = msac
+        fout_ref[1] = count
+        iout_ref[0] = packed
 
     return kernel
 
@@ -185,7 +187,7 @@ def essential_ransac_sweep(
         point_mask.astype(jnp.float32))
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
     key = jax.random.key(jnp.asarray(seed, jnp.uint32))
-    bits = jax.random.bits(key, (8, n_blocks * BLOCK_H), jnp.uint32)
+    bits = jax.random.bits(key, (8, SUB, n_blocks * LAN), jnp.uint32)
 
     kernel = _make_kernel(n_points, n)
     fout, iout = pl.pallas_call(
@@ -196,25 +198,25 @@ def essential_ransac_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((8, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((2, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((2, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((2, n_blocks * BLOCK_H), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_blocks * BLOCK_H), jnp.int32),
+            jax.ShapeDtypeStruct((2, SUB, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_hyp * (2300 + 25 * n), transcendentals=n_hyp * 4,
             bytes_accessed=n_hyp * 44),
     )(x1_p, x2_p, mask_p, thr, bits)
-    return fout[0], fout[1], iout[0]
+    return fout[0].reshape(-1), fout[1].reshape(-1), iout[0].reshape(-1)
 
 
 def unpack_sample8(packed: int) -> np.ndarray:

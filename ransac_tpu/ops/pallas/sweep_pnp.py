@@ -28,6 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_H = 1024
+SUB = 8
+LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 N_ROOTS = 4
 
@@ -96,7 +98,7 @@ def _make_kernel(n_points: int, n_score: int):
         # 3-subset Fisher-Yates.
         idx = []
         for j in range(3):
-            r = (bits[j, :] % jnp.uint32(n_points - j)).astype(jnp.int32)
+            r = (bits[j] % jnp.uint32(n_points - j)).astype(jnp.int32)
             prev_sorted = []
             for pv in idx:
                 ins = pv
@@ -113,7 +115,7 @@ def _make_kernel(n_points: int, n_score: int):
             idx.append(r)
 
         def gather(ref, col, ind):
-            acc = jnp.zeros((BLOCK_H,), jnp.float32)
+            acc = jnp.zeros((SUB, LAN), jnp.float32)
             for nn in range(n_points):
                 acc = acc + jnp.where(ind == nn, ref[nn, col], 0.0)
             return acc
@@ -237,8 +239,8 @@ def _make_kernel(n_points: int, n_score: int):
                            + R[r][2] * cw[2]) for r in range(3)]
 
             # Score all points in normalized coords.
-            count = jnp.zeros((BLOCK_H,), jnp.float32)
-            msac = jnp.zeros((BLOCK_H,), jnp.float32)
+            count = jnp.zeros((SUB, LAN), jnp.float32)
+            msac = jnp.zeros((SUB, LAN), jnp.float32)
             big = jnp.float32(1e12)
             for nn in range(n_score):
                 Xx = X_ref[nn, 0]
@@ -260,9 +262,9 @@ def _make_kernel(n_points: int, n_score: int):
                 msac = msac + jnp.minimum(e2_, thr_sq) * wp
 
             msac = jnp.where(valid, msac, jnp.float32(3.4e38))
-            fout_ref[2 * k, :] = msac
-            fout_ref[2 * k + 1, :] = count
-        iout_ref[0, :] = packed
+            fout_ref[2 * k] = msac
+            fout_ref[2 * k + 1] = count
+        iout_ref[0] = packed
 
     return kernel
 
@@ -297,7 +299,7 @@ def pnp_ransac_sweep(
         point_mask.astype(jnp.float32))
     thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
     key = jax.random.key(jnp.asarray(seed, jnp.uint32))
-    bits = jax.random.bits(key, (3, n_blocks * BLOCK_H), jnp.uint32)
+    bits = jax.random.bits(key, (3, SUB, n_blocks * LAN), jnp.uint32)
 
     kernel = _make_kernel(n_points, n)
     fout, iout = pl.pallas_call(
@@ -309,28 +311,28 @@ def pnp_ransac_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pix_n
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
-            pl.BlockSpec((3, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((3, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),  # bits
         ],
         out_specs=(
-            pl.BlockSpec((2 * N_ROOTS, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((2 * N_ROOTS, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_H), lambda i: (0, i),
+            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((2 * N_ROOTS, n_blocks * BLOCK_H),
+            jax.ShapeDtypeStruct((2 * N_ROOTS, SUB, n_blocks * LAN),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((1, n_blocks * BLOCK_H), jnp.int32),
+            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_hyp * (2500 + 4 * 25 * n), transcendentals=n_hyp * 20,
             bytes_accessed=n_hyp * 48),
     )(X_p, f_p, pix_p, mask_p, thr, bits)
-    msac = fout[0::2].reshape(-1)     # root-major [4, H] -> [4H]
-    counts = fout[1::2].reshape(-1)
-    packed = jnp.tile(iout[0], (N_ROOTS,))
+    msac = fout[0::2].reshape(N_ROOTS, -1).reshape(-1)  # root-major [4H]
+    counts = fout[1::2].reshape(N_ROOTS, -1).reshape(-1)
+    packed = jnp.tile(iout[0].reshape(-1), (N_ROOTS,))
     return msac, counts, packed
 
 
