@@ -24,6 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_H = 1024
+SUB = 8
+LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 
 
@@ -32,24 +34,24 @@ def _make_kernel(n_score: int):
                fbest_ref, ibest_ref):
         thr_sq = thr_ref[0]
         src = src_ref[0]          # [MAX_POINTS, 2] candidate block (VMEM)
-        idx = idx_ref[...]        # [4, BLOCK_H] int32 sample indices
+        idx = idx_ref[...]        # [4, SUB, LAN] int32 sample indices
 
         def gather_src(col, ind):
-            acc = jnp.zeros((BLOCK_H,), jnp.float32)
+            acc = jnp.zeros((SUB, LAN), jnp.float32)
             for nn in range(n_score):
                 acc = acc + jnp.where(ind == nn, src[nn, col], 0.0)
             return acc
 
         def gather_dst(col, ind):
-            acc = jnp.zeros((BLOCK_H,), jnp.float32)
+            acc = jnp.zeros((SUB, LAN), jnp.float32)
             for nn in range(n_score):
                 acc = acc + jnp.where(ind == nn, dst_ref[nn, col], 0.0)
             return acc
 
-        sx = [gather_src(0, idx[j, :]) for j in range(4)]
-        sy = [gather_src(1, idx[j, :]) for j in range(4)]
-        dx = [gather_dst(0, idx[j, :]) for j in range(4)]
-        dy = [gather_dst(1, idx[j, :]) for j in range(4)]
+        sx = [gather_src(0, idx[j]) for j in range(4)]
+        sy = [gather_src(1, idx[j]) for j in range(4)]
+        dx = [gather_dst(0, idx[j]) for j in range(4)]
+        dy = [gather_dst(1, idx[j]) for j in range(4)]
 
         def hartley(xs, ys):
             mx = (xs[0] + xs[1] + xs[2] + xs[3]) * 0.25
@@ -64,8 +66,8 @@ def _make_kernel(n_score: int):
         sxn, syn, smx, smy, ss = hartley(sx, sy)
         dxn, dyn, dmx, dmy, sd = hartley(dx, dy)
 
-        one = jnp.ones((BLOCK_H,), jnp.float32)
-        zero = jnp.zeros((BLOCK_H,), jnp.float32)
+        one = jnp.ones((SUB, LAN), jnp.float32)
+        zero = jnp.zeros((SUB, LAN), jnp.float32)
 
         def u_row(j):
             x, y, u = sxn[j], syn[j], dxn[j]
@@ -79,7 +81,7 @@ def _make_kernel(n_score: int):
                v_row(0), v_row(1), v_row(2),
                u_row(3), v_row(3)]
 
-        valid = jnp.ones((BLOCK_H,), jnp.bool_)
+        valid = jnp.ones((SUB, LAN), jnp.bool_)
         group_end = {0: 3, 1: 3, 2: 3, 3: 6, 4: 6, 5: 6, 6: 8, 7: 8}
         for k in range(8):
             for i in range(k + 1, group_end[k]):
@@ -120,8 +122,8 @@ def _make_kernel(n_score: int):
             m[6], m[7], m[8],
         ]
 
-        count = jnp.zeros((BLOCK_H,), jnp.float32)
-        msac = jnp.zeros((BLOCK_H,), jnp.float32)
+        count = jnp.zeros((SUB, LAN), jnp.float32)
+        msac = jnp.zeros((SUB, LAN), jnp.float32)
         for nn in range(n_score):
             x = src[nn, 0]
             y = src[nn, 1]
@@ -139,11 +141,10 @@ def _make_kernel(n_score: int):
             msac = msac + jnp.minimum(e2, thr_sq) * wp
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
-        packed = (idx[0, :] + idx[1, :] * 16 + idx[2, :] * 256
-                  + idx[3, :] * 4096)
-        fbest_ref[0, 0, :] = msac
-        fbest_ref[0, 1, :] = count
-        ibest_ref[0, 0, :] = packed
+        packed = (idx[0] + idx[1] * 16 + idx[2] * 256 + idx[3] * 4096)
+        fbest_ref[0, 0] = msac
+        fbest_ref[0, 1] = count
+        ibest_ref[0, 0] = packed
 
     return kernel
 
@@ -167,6 +168,8 @@ def multi_candidate_sweep(
     H = sample_idx.shape[1]
     assert H % BLOCK_H == 0
     n_blocks = H // BLOCK_H
+    # Hypothesis (s, b, l) <-> flat h = s*(n_blocks*LAN) + b*LAN + l.
+    idx3 = sample_idx.reshape(4, SUB, n_blocks * LAN)
 
     src_p = jnp.zeros((C, MAX_POINTS, 2), jnp.float32).at[:, :src_all.shape[1]].set(src_all)
     dst_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(dst)
@@ -184,22 +187,23 @@ def multi_candidate_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # thr^2
             pl.BlockSpec((1, MAX_POINTS, 2), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM),   # candidate points
-            pl.BlockSpec((4, BLOCK_H), lambda c, b: (0, b),
+            pl.BlockSpec((4, SUB, LAN), lambda c, b: (0, 0, b),
                          memory_space=pltpu.VMEM),   # sample indices
         ],
         out_specs=(
-            pl.BlockSpec((1, 2, BLOCK_H), lambda c, b: (c, 0, b),
+            pl.BlockSpec((1, 2, SUB, LAN), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_H), lambda c, b: (c, 0, b),
+            pl.BlockSpec((1, 1, SUB, LAN), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, 2, H), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1, H), jnp.int32),
+            jax.ShapeDtypeStruct((C, 2, SUB, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, SUB, n_blocks * LAN), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=C * H * (1100 + 22 * n), transcendentals=C * H * 8,
             bytes_accessed=C * (MAX_POINTS * 8 + H * 12)),
-    )(dst_p, mask_p, thr, src_p, sample_idx.astype(jnp.int32))
-    return fout[:, 0, :], fout[:, 1, :], iout[0, 0, :]
+    )(dst_p, mask_p, thr, src_p, idx3.astype(jnp.int32))
+    return (fout[:, 0].reshape(C, -1), fout[:, 1].reshape(C, -1),
+            iout[0, 0].reshape(-1))
