@@ -140,3 +140,25 @@ def east_axis_plane_projection(
 def camera_origin_from_pose(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """World-frame camera center: C = -R^T t (main_v1.py:910)."""
     return -jnp.einsum("...ji,...j->...i", R, t)
+
+
+def clip_translation(t: jnp.ndarray, max_norm: float = 1e4) -> jnp.ndarray:
+    """Clip a translation vector to ``max_norm`` (batched).
+
+    Parity for the reference's ``check_translation_vector``
+    (main_v1.py:515-520 — defined there but never called; provided here as
+    a live, vmappable utility).
+    """
+    n = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    scale = jnp.where(n > max_norm, max_norm / jnp.where(n > 0, n, 1.0), 1.0)
+    return t * scale
+
+
+def translation_from_origin(R: jnp.ndarray, origin: jnp.ndarray) -> jnp.ndarray:
+    """t = -R @ origin: rebuild the translation from a known camera center.
+
+    Parity for the reference's ``recalculate_translation_vector``
+    (main_v1.py:532-544 — dead code there); inverse of
+    :func:`camera_origin_from_pose`.
+    """
+    return -jnp.einsum("...ij,...j->...i", R, origin)

@@ -80,22 +80,31 @@ def weighted_factors(factors: jnp.ndarray, valid: jnp.ndarray,
 
 
 # ------------------------------------------------------------ ray march
-@partial(jax.jit, static_argnames=("max_steps", "min_hit_step", "step"))
+@partial(jax.jit,
+         static_argnames=("max_steps", "min_hit_step", "step", "chunk"))
 def march_rays(
     origins: jnp.ndarray,      # [R,3] centered UTM
     directions: jnp.ndarray,   # [R,3] unit
     dem_data: jnp.ndarray, x0, y0, dx, dy,
     max_steps: int, step: float = 1.0, min_hit_step: int = 150,
+    chunk: int = 64,
 ):
     """Lockstep batched ray march.  Returns (hits [R,3], hit_mask [R]).
 
-    Termination: z <= DEM(x, y) after >= min_hit_step steps (reference
-    warmup quirk, main_v1.py:650), or leaving the DEM footprint, or
-    max_steps.  Early-exits the while_loop when every ray is done.
+    Termination per ray: z <= DEM(x, y) after >= min_hit_step steps (the
+    reference warmup quirk, main_v1.py:650), or leaving the DEM footprint,
+    or max_steps.  Instead of one tiny gather per 1 m step (the reference
+    does one PROJ FFI call + scipy interpolation per step, main_v1.py:
+    638-656), each while_loop iteration evaluates ``chunk`` future steps of
+    every active ray in a single [R*chunk] bilinear gather and resolves the
+    first crossing in the chunk — same step-0..max_steps-1 semantics, 1/chunk
+    the trip count, and gathers big enough to saturate the memory system.
+    Early-exits when every ray is done.
     """
     n = origins.shape[0]
     xmax = x0 + dx * (dem_data.shape[1] - 1)
     ymax = y0 + dy * (dem_data.shape[0] - 1)
+    ks = jnp.arange(chunk, dtype=origins.dtype)        # relative step ids
 
     def cond(state):
         i, pos, done, hit = state
@@ -103,16 +112,30 @@ def march_rays(
 
     def body(state):
         i, pos, done, hit = state
-        z_dem = bilinear_sample(dem_data, x0, y0, dx, dy, pos[:, 0], pos[:, 1])
-        inside = ((pos[:, 0] >= x0) & (pos[:, 0] <= xmax)
-                  & (pos[:, 1] >= y0) & (pos[:, 1] <= ymax))
-        hit_now = (i >= min_hit_step) & (pos[:, 2] <= z_dem) & inside \
-            & jnp.logical_not(done)
-        out_now = jnp.logical_not(inside) & jnp.logical_not(done)
-        hit = hit | hit_now
-        done = done | hit_now | out_now
-        pos = pos + step * directions * jnp.logical_not(done)[:, None]
-        return i + 1, pos, done, hit
+        # Candidate positions for global steps i..i+chunk-1 (active rays
+        # carry pos == origin + i*step*dir, so P[:, k] is step i+k).
+        P = pos[:, None, :] + (step * ks)[None, :, None] * directions[:, None, :]
+        z_dem = bilinear_sample(
+            dem_data, x0, y0, dx, dy,
+            P[..., 0].reshape(-1), P[..., 1].reshape(-1)).reshape(n, chunk)
+        inside = ((P[..., 0] >= x0) & (P[..., 0] <= xmax)
+                  & (P[..., 1] >= y0) & (P[..., 1] <= ymax))
+        gstep = i + jnp.arange(chunk)                  # [chunk] global ids
+        in_budget = gstep < max_steps
+        hit_k = ((gstep >= min_hit_step)[None, :] & (P[..., 2] <= z_dem)
+                 & inside & in_budget[None, :])
+        stop_k = (hit_k | ~inside) & in_budget[None, :]
+        any_stop = stop_k.any(axis=1) & ~done
+        first = jnp.argmax(stop_k, axis=1)             # first stop in chunk
+        first_is_hit = jnp.take_along_axis(hit_k, first[:, None], 1)[:, 0]
+        stop_pos = jnp.take_along_axis(P, first[:, None, None], 1)[:, 0, :]
+        adv = jnp.minimum(jnp.asarray(chunk), max_steps - i)
+        adv_pos = pos + (adv * step) * directions
+        new_pos = jnp.where(done[:, None], pos,
+                            jnp.where(any_stop[:, None], stop_pos, adv_pos))
+        hit = hit | (any_stop & first_is_hit)
+        done = done | any_stop
+        return i + chunk, new_pos, done, hit
 
     i0 = jnp.asarray(0)
     done0 = jnp.zeros(n, bool)

@@ -296,3 +296,26 @@ def test_triangulation_exact():
         jnp.asarray(x1), jnp.asarray(x2),
         jnp.eye(3), jnp.zeros(3), jnp.asarray(R), jnp.asarray(t))
     np.testing.assert_allclose(np.asarray(Xr), X, atol=1e-5)
+
+
+def test_translation_utilities():
+    """clip_translation / translation_from_origin (parity for the
+    reference's dead-code helpers, main_v1.py:515-544)."""
+    from ransac_tpu.ops.projection import (camera_origin_from_pose,
+                                           clip_translation,
+                                           translation_from_origin)
+    from ransac_tpu.ops.rotation import exp_so3
+
+    t = jnp.asarray([3e4, 4e4, 0.0])
+    tc = np.asarray(clip_translation(t, 1e4))
+    np.testing.assert_allclose(np.linalg.norm(tc), 1e4, rtol=1e-6)
+    np.testing.assert_allclose(tc / np.linalg.norm(tc), [0.6, 0.8, 0.0],
+                               atol=1e-6)
+    small = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(clip_translation(small, 1e4)),
+                                  np.asarray(small))
+    R = exp_so3(jnp.asarray([0.2, -0.1, 0.4]))
+    origin = jnp.asarray([10.0, -5.0, 2.0])
+    t2 = translation_from_origin(R, origin)
+    np.testing.assert_allclose(np.asarray(camera_origin_from_pose(R, t2)),
+                               np.asarray(origin), atol=1e-5)

@@ -266,3 +266,37 @@ def test_polygon_interior_elevations():
     assert len(pts) > 20
     assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= 200).all()
     np.testing.assert_allclose(pts[:, 2], 0.01 * pts[:, 0] + 100.0, atol=0.5)
+
+
+def test_march_chunk_invariance():
+    """Chunked marching (one [R*chunk] gather per while_loop trip) must be
+    bit-identical to the single-step reference semantics (chunk=1), incl.
+    the min_hit_step warmup, out-of-bounds exits, and the step budget."""
+    frame = flat_frame()
+    dem = demio.synthetic_dem(
+        frame, extent_m=800, spacing_m=5.0,
+        terrain_fn=lambda X, Y: 40.0 * np.sin(X / 90.0) * np.cos(Y / 70.0))
+    rng = np.random.default_rng(7)
+    n = 64
+    origins = np.zeros((n, 3), np.float32)
+    origins[:, 2] = 250.0
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.9, -0.1, n)  # some rays exit the footprint
+    dirs = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)], 1).astype(np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(dirs), *dem.device_arrays())
+    kw = dict(max_steps=900, step=1.0, min_hit_step=150)
+    pos1, hit1 = raycast.march_rays(*args, chunk=1, **kw)
+    for chunk in (7, 64, 256):
+        posc, hitc = raycast.march_rays(*args, chunk=chunk, **kw)
+        np.testing.assert_array_equal(np.asarray(hit1), np.asarray(hitc))
+        sel = np.asarray(hit1)
+        # Positions agree to f32 accumulation error (chunk=1 accumulates
+        # step-by-step additions; chunked forms k*step*dir products) —
+        # except rays grazing the surface, whose hit step may shift by one
+        # between the two rounding paths (bounded by one step length).
+        d = np.linalg.norm(np.asarray(pos1)[sel] - np.asarray(posc)[sel],
+                           axis=1)
+        assert np.quantile(d, 0.9) < 2e-2, d
+        assert d.max() < 1.5 * kw["step"], d
+    assert np.asarray(hit1).any() and not np.asarray(hit1).all()
