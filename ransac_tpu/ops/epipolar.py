@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ransac_tpu.ops.homography import normalization_transform
-from ransac_tpu.ops.linalg import nullspace_last
+from ransac_tpu.ops.linalg import nullspace_last_fast
 from ransac_tpu.ops.rotation import project_to_so3
 
 
@@ -38,7 +38,7 @@ def eight_point(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], -1)
     if weights is not None:
         A = A * weights[..., None]
-    f = nullspace_last(A)
+    f = nullspace_last_fast(A)
     F = f.reshape(*f.shape[:-1], 3, 3)
     # Denormalize FIRST: the Hartley transforms are not orthogonal, so
     # singular-value constraints enforced in the normalized frame do not
@@ -106,7 +106,7 @@ def triangulate_dlt(
         return jnp.stack([r1, r2], axis=-2)
 
     A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], axis=-2)  # [...,N,4,4]
-    X = nullspace_last(A)
+    X = nullspace_last_fast(A)
     w = X[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return X[..., :3] / w[..., None]

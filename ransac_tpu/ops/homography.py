@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ransac_tpu.ops.linalg import nullspace_last
+from ransac_tpu.ops.linalg import nullspace_last_fast
 
 
 def normalization_transform(pts: jnp.ndarray, mask: jnp.ndarray | None = None):
@@ -77,7 +77,7 @@ def dlt_homography(
     if weights is not None:
         w2 = jnp.concatenate([weights, weights], axis=-1)
         A = A * w2[..., None]
-    h = nullspace_last(A)
+    h = nullspace_last_fast(A)
     Hn = h.reshape(*h.shape[:-1], 3, 3)
     # Denormalize: H = Td^-1 Hn Ts.
     H = jnp.linalg.solve(Td, Hn @ Ts)

@@ -59,7 +59,15 @@ def levenberg_marquardt(
         # Marquardt scaling: lam * diag(H) keeps steps well-conditioned
         # across wildly different parameter scales (rotation vs meters).
         D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
-        dx = jnp.linalg.solve(H + lam * D, -g)
+        if n <= 16:
+            # Register-resident unrolled solve: under vmap (e.g. 458
+            # per-candidate refinements) jnp.linalg.solve lowers to a
+            # serial per-matrix LAPACK-style loop on TPU.
+            from ransac_tpu.ops.linalg import solve_unrolled
+
+            dx, _ = solve_unrolled(H + lam * D, -g)
+        else:
+            dx = jnp.linalg.solve(H + lam * D, -g)
         x_new = x + dx
         cost_new = cost_of(x_new)
         accept = cost_new < cost

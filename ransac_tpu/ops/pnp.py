@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ransac_tpu.ops.linalg import nullspace_last, solve_quartic_real
+from ransac_tpu.ops.linalg import nullspace_last_fast, solve_quartic_real
 from ransac_tpu.ops.rotation import project_to_so3
 
 
@@ -325,7 +325,7 @@ def dlt_pnp(Xw: jnp.ndarray, pixels_norm: jnp.ndarray,
     r2 = jnp.stack([zero, zero, zero, zero, X, Y, Z, one,
                     -v * X, -v * Y, -v * Z, -v], -1)
     A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
-    p = nullspace_last(A)
+    p = nullspace_last_fast(A)
     P = p.reshape(*p.shape[:-1], 3, 4)
     M = P[..., :3]
     # Scale and sign: force det(R) > 0 and positive mean depth.

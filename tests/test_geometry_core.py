@@ -319,3 +319,31 @@ def test_translation_utilities():
     t2 = translation_from_origin(R, origin)
     np.testing.assert_allclose(np.asarray(camera_origin_from_pose(R, t2)),
                                np.asarray(origin), atol=1e-5)
+
+
+def test_nullspace_last_fast_matches_svd():
+    """Inverse-iteration nullspace (register solve, no LAPACK) agrees with
+    the SVD answer across clean / noisy / wide batched DLT-like systems."""
+    from ransac_tpu.ops.linalg import nullspace_last, nullspace_last_fast
+
+    rng = np.random.default_rng(3)
+    for m, n, noise in ((26, 9, 0.0), (26, 9, 1e-3), (8, 9, 0.0),
+                        (4, 4, 1e-4), (24, 12, 1e-3)):
+        B = 64
+        U = rng.normal(size=(B, m, n)).astype(np.float32)
+        v = rng.normal(size=(B, n)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        A = U - (U @ v[..., None]) * v[:, None, :]
+        A = (A + noise * rng.normal(size=A.shape)).astype(np.float32)
+        Aj = jnp.asarray(A)
+        xs = np.asarray(nullspace_last(Aj))
+        xf = np.asarray(nullspace_last_fast(Aj))
+        rs = np.linalg.norm(np.einsum("bmn,bn->bm", A, xs), axis=1)
+        rf = np.linalg.norm(np.einsum("bmn,bn->bm", A, xf), axis=1)
+        # Residual no worse than 1.1x SVD's (plus f32 floor).
+        assert (rf <= 1.1 * rs + 1e-4).all(), (m, n, noise)
+        if noise <= 1e-4 and m >= n:
+            # (m < n leaves a >=2-dim nullspace: any basis vector is valid,
+            # so only the residual is comparable.)
+            dots = np.abs(np.sum(xs * xf, axis=1))
+            assert dots.min() > 0.9999, (m, n, noise, dots.min())
