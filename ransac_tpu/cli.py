@@ -295,6 +295,32 @@ def _cmd_profile(args):
         prof.measure("fused_ransac_sweep", jax.jit(sweep), 0,
                      flops=H * (1400 + 22 * n), bytes_moved=H * 28)
 
+        from ransac_tpu.ops.pallas.sweep_pnp import pnp_ransac_sweep
+
+        Xw = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        pixn = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32))
+
+        def sweep_pnp(seed):
+            return pnp_ransac_sweep(seed, Xw, pixn, mask, 30.0 / 900.0,
+                                    n_hyp=H)
+
+        prof.measure("fused_p3p_sweep", jax.jit(sweep_pnp), 0,
+                     flops=H * (2500 + 100 * n), bytes_moved=H * 48)
+
+        from ransac_tpu.ops.pallas.sweep_essential import (
+            essential_ransac_sweep)
+
+        x1 = jnp.asarray(rng.uniform(-0.5, 0.5, (n + 3, 2)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(-0.5, 0.5, (n + 3, 2)).astype(np.float32))
+        maske = jnp.ones(n + 3, jnp.float32)
+
+        def sweep_e(seed):
+            return essential_ransac_sweep(seed, x1, x2, maske,
+                                          (2.0 / 600.0) ** 2, n_hyp=H)
+
+        prof.measure("fused_essential_sweep", jax.jit(sweep_e), 0,
+                     flops=H * (5200 + 30 * n), bytes_moved=H * 16)
+
     models = jnp.asarray(
         (np.eye(3)[None] + rng.normal(scale=0.1, size=(H, 3, 3))
          ).astype(np.float32))

@@ -145,6 +145,133 @@ def march_rays(
     return pos, hit
 
 
+@partial(jax.jit, static_argnames=(
+    "max_steps", "min_hit_step", "step", "pool", "seg_steps", "lookahead"))
+def march_rays_mip(
+    origins: jnp.ndarray,      # [R,3] centered UTM
+    directions: jnp.ndarray,   # [R,3] unit
+    dem_data: jnp.ndarray, x0, y0, dx, dy,
+    max_steps: int, step: float = 1.0, min_hit_step: int = 150,
+    pool: int = 8, seg_steps: int = 32, lookahead: int = 32,
+):
+    """Coarse-to-fine (max-mipmap) batched ray march — same semantics as
+    :func:`march_rays`, far fewer DEM samples.
+
+    A pooled-max mip of the DEM (``pool`` x ``pool`` cells, 3x3-block
+    dilated so it upper-bounds every bilinear sample whose query falls in
+    the block) lets whole ray segments be skipped with one nearest-
+    neighbor lookup: a segment [s, s+seg_steps*step] cannot contain a
+    z <= DEM crossing if min(z_start, z_end) > pooled_max(mid).  Each
+    while_loop trip per ray: scan ``lookahead`` segments coarsely (one
+    [R, lookahead] gather of the mip), jump to the first suspicious one,
+    then fine-scan its ``seg_steps`` steps exactly like march_rays.  Empty
+    sky costs lookahead+seg_steps samples per lookahead*seg_steps steps
+    instead of one bilinear sample per step.
+
+    Caller must ensure ``seg_steps * step <= pool * min(dx, dy)`` (the
+    dilation's coverage guarantee); ``GeoInverter`` computes a valid
+    ``seg_steps`` from the DEM spacing.  Positions are exact
+    ``origin + i*step*dir`` (no accumulation drift).
+    """
+    n = origins.shape[0]
+    h, w = dem_data.shape
+    xmax = x0 + dx * (w - 1)
+    ymax = y0 + dy * (h - 1)
+
+    # Pooled-max mip, padded with -inf, 3x3-dilated.
+    hb = -(-h // pool)
+    wb = -(-w // pool)
+    padded = jnp.full((hb * pool, wb * pool), -jnp.inf,
+                      dem_data.dtype).at[:h, :w].set(dem_data)
+    pooled = padded.reshape(hb, pool, wb, pool).max(axis=(1, 3))
+    pp = jnp.pad(pooled, 1, constant_values=-jnp.inf)
+    pooled2 = pp[1:-1, 1:-1]
+    for ro in (-1, 0, 1):
+        for co in (-1, 0, 1):
+            pooled2 = jnp.maximum(
+                pooled2, pp[1 + ro:1 + ro + hb, 1 + co:1 + co + wb])
+    pooled_flat = pooled2.reshape(-1)
+    bx_size = pool * dx
+    by_size = pool * dy
+
+    seg_len = seg_steps * step
+    ks = jnp.arange(lookahead, dtype=jnp.float32)      # segment ids
+    fs_steps = jnp.arange(seg_steps, dtype=jnp.float32)  # fine step ids
+
+    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
+    dxr, dyr, dzr = directions[:, 0], directions[:, 1], directions[:, 2]
+
+    def cond(state):
+        i, done, hit, istop = state
+        return jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        i, done, hit, istop = state
+        t0 = i.astype(jnp.float32) * step                 # [R] arc length
+
+        # ---- coarse scan: lookahead segments [t0 + k*seg, ...]
+        t_start = t0[:, None] + ks[None, :] * seg_len     # [R,KC]
+        t_end = t_start + seg_len
+        t_mid = t_start + 0.5 * seg_len
+        mx = ox[:, None] + t_mid * dxr[:, None]
+        my = oy[:, None] + t_mid * dyr[:, None]
+        bxi = jnp.clip(((mx - x0) / bx_size).astype(jnp.int32), 0, wb - 1)
+        byi = jnp.clip(((my - y0) / by_size).astype(jnp.int32), 0, hb - 1)
+        zmax_seg = jnp.take(pooled_flat, byi * wb + bxi)  # [R,KC]
+        z_s = oz[:, None] + t_start * dzr[:, None]
+        z_e = oz[:, None] + t_end * dzr[:, None]
+        zmin_seg = jnp.minimum(z_s, z_e)
+
+        def outside(t):
+            px = ox[:, None] + t * dxr[:, None]
+            py = oy[:, None] + t * dyr[:, None]
+            return ((px < x0) | (px > xmax) | (py < y0) | (py > ymax))
+
+        suspicious = ((zmin_seg <= zmax_seg)
+                      | outside(t_start) | outside(t_end))
+        any_susp = suspicious.any(axis=1)
+        fs = jnp.where(any_susp,
+                       jnp.argmax(suspicious, axis=1),
+                       jnp.int32(lookahead))              # segments skipped
+        i_skip = i + fs * seg_steps
+
+        # ---- fine scan: seg_steps exact steps from i_skip
+        g = i_skip[:, None] + jnp.arange(seg_steps)[None, :]  # [R,S] global
+        t = g.astype(jnp.float32) * step
+        px = ox[:, None] + t * dxr[:, None]
+        py = oy[:, None] + t * dyr[:, None]
+        pz = oz[:, None] + t * dzr[:, None]
+        z_dem = bilinear_sample(dem_data, x0, y0, dx, dy,
+                                px.reshape(-1), py.reshape(-1)).reshape(
+                                    n, seg_steps)
+        inside = (px >= x0) & (px <= xmax) & (py >= y0) & (py <= ymax)
+        in_budget = g < max_steps
+        hit_k = ((g >= min_hit_step) & (pz <= z_dem) & inside & in_budget)
+        stop_k = (hit_k | ~inside) & in_budget
+        any_stop = stop_k.any(axis=1) & ~done
+        first = jnp.argmax(stop_k, axis=1)
+        first_is_hit = jnp.take_along_axis(hit_k, first[:, None], 1)[:, 0]
+
+        i_next = jnp.minimum(i_skip + seg_steps, max_steps)
+        new_i = jnp.where(done, i, jnp.where(any_stop, i_skip + first,
+                                             i_next))
+        hit = hit | (any_stop & first_is_hit)
+        istop = jnp.where(done, istop, jnp.where(any_stop, i_skip + first,
+                                                 i_next))
+        done = done | any_stop | (new_i >= max_steps)
+        return new_i, done, hit, istop
+
+    i0 = jnp.zeros(n, jnp.int32)
+    done0 = jnp.zeros(n, bool)
+    hit0 = jnp.zeros(n, bool)
+    istop0 = jnp.full((n,), max_steps, jnp.int32)
+    _, done, hit, istop = jax.lax.while_loop(
+        cond, body, (i0, done0, hit0, istop0))
+    t_stop = istop.astype(jnp.float32) * step
+    pos = origins + t_stop[:, None] * directions
+    return pos, hit
+
+
 # ------------------------------------------------------------ inverter
 @dataclass
 class GeoInverter:
@@ -206,9 +333,20 @@ class GeoInverter:
             jnp.asarray(self.ray_origin, jnp.float32), rays.shape)
         dem_arrs = self.dem.device_arrays()
         max_steps = int(self.cfg.max_search_dist_m / self.cfg.step_m)
-        pos, hit = march_rays(
-            origins, rays, *dem_arrs, max_steps=max_steps,
-            step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step)
+        if self.cfg.march == "mip":
+            # Coverage guarantee: seg_steps * step <= pool * min(dx, dy).
+            pool = 8
+            spacing = min(abs(self.dem.dx), abs(self.dem.dy))
+            seg_steps = max(int(pool * spacing / self.cfg.step_m), 1)
+            seg_steps = int(min(seg_steps, 32))
+            pos, hit = march_rays_mip(
+                origins, rays, *dem_arrs, max_steps=max_steps,
+                step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step,
+                pool=pool, seg_steps=seg_steps)
+        else:
+            pos, hit = march_rays(
+                origins, rays, *dem_arrs, max_steps=max_steps,
+                step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step)
         utm = self.dem.frame.uncenter(np.asarray(pos, np.float64))
         return utm, np.asarray(hit)
 

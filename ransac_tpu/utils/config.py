@@ -110,6 +110,10 @@ class RaycastConfig:
     factor_abs_max: float = 2.0
     #: Camera altitude snap above terrain (main_v1.py:915).
     camera_height_above_dem_m: float = 1.5
+    #: March strategy: 'mip' (coarse-to-fine over a pooled-max DEM,
+    #: identical results, ~4x fewer DEM samples) or 'chunk' (plain
+    #: chunked lockstep march).
+    march: str = "mip"
 
 
 @dataclass(frozen=True)

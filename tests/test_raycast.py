@@ -300,3 +300,36 @@ def test_march_chunk_invariance():
         assert np.quantile(d, 0.9) < 2e-2, d
         assert d.max() < 1.5 * kw["step"], d
     assert np.asarray(hit1).any() and not np.asarray(hit1).all()
+
+
+def test_march_mip_matches_plain():
+    """Coarse-to-fine mip march must reproduce the plain march exactly:
+    same hit masks, same hit step (positions are exact origin + i*step*dir
+    in the mip path, so agreement is within one step length)."""
+    frame = flat_frame()
+    dem = demio.synthetic_dem(
+        frame, extent_m=900, spacing_m=5.0,
+        terrain_fn=lambda X, Y: 35.0 * np.sin(X / 110.0) * np.cos(Y / 85.0)
+        + 0.01 * X)
+    rng = np.random.default_rng(11)
+    n = 96
+    origins = np.zeros((n, 3), np.float32)
+    origins[:, 2] = 220.0
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.9, -0.05, n)
+    dirs = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)], 1).astype(np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(dirs), *dem.device_arrays())
+    for warmup in (0, 150):
+        kw = dict(max_steps=1200, step=1.0, min_hit_step=warmup)
+        pos_p, hit_p = raycast.march_rays(*args, chunk=1, **kw)
+        pos_m, hit_m = raycast.march_rays_mip(
+            *args, pool=8, seg_steps=32, lookahead=16, **kw)
+        np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_m))
+        sel = np.asarray(hit_p)
+        d = np.linalg.norm(np.asarray(pos_p)[sel] - np.asarray(pos_m)[sel],
+                           axis=1)
+        # identical hit step modulo the two paths' f32 rounding
+        assert d.max() < 1.5 * kw["step"], d.max()
+        assert np.quantile(d, 0.9) < 2e-2, d
+    assert np.asarray(hit_p).any() and not np.asarray(hit_p).all()
