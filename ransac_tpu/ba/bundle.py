@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ransac_tpu.ops import projection as proj
 from ransac_tpu.ops.rotation import exp_so3
 from ransac_tpu.utils.config import BundleAdjustConfig
+from ransac_tpu.ops.linalg import inv3x3
 
 
 class BAProblem(NamedTuple):
@@ -112,7 +113,7 @@ def _solve_schur(p: BAProblem, r, Jc, Jp, lam, n_cam, n_pt, fix_first: bool):
     Ud = U + lam * dU[..., None] * jnp.eye(6, dtype=r.dtype)
     dV = jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)
     Vd = V + lam * dV[..., None] * jnp.eye(3, dtype=r.dtype)
-    Vinv = jnp.linalg.inv(Vd + 1e-9 * jnp.eye(3))
+    Vinv = inv3x3(Vd, eps=1e-9)
 
     W = jnp.einsum("oai,oaj->oij", Jc, Jp)                      # [O,6,3]
     Y = W @ Vinv[p.obs_pt]                                      # [O,6,3]

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ransac_tpu.ops.linalg import nullspace_last_fast
+from ransac_tpu.ops.linalg import inv3x3, nullspace_last_fast
 
 
 def normalization_transform(pts: jnp.ndarray, mask: jnp.ndarray | None = None):
@@ -80,7 +80,7 @@ def dlt_homography(
     h = nullspace_last_fast(A)
     Hn = h.reshape(*h.shape[:-1], 3, 3)
     # Denormalize: H = Td^-1 Hn Ts.
-    H = jnp.linalg.solve(Td, Hn @ Ts)
+    H = inv3x3(Td) @ (Hn @ Ts)  # 3x3: closed-form, stays vectorized under vmap
     s = H[..., 2:3, 2:3]
     s = jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
     return H / s
@@ -146,7 +146,7 @@ def transfer_errors(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray):
 
 def symmetric_transfer_errors(H, src, dst):
     fwd = transfer_errors(H, src, dst)
-    bwd = transfer_errors(jnp.linalg.inv(H), dst, src)
+    bwd = transfer_errors(inv3x3(H), dst, src)
     return fwd + bwd
 
 

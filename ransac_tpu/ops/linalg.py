@@ -209,3 +209,36 @@ def nullspace_last_fast(A: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
 
     pick = (rq(x1) <= rq(x2))[..., None]
     return jnp.where(pick, x1, x2)
+
+
+def inv3x3(A: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    ``jnp.linalg.inv`` on a [P,3,3] batch lowers to a serial per-matrix
+    LAPACK-style loop on TPU (same pathology as the batched SVD) — in
+    bundle adjustment the point-block inverses of the Schur reduction sit
+    on every LM iteration, so they must stay vectorized.  ``eps`` is added
+    to the diagonal first (damping/regularization).
+    """
+    if eps:
+        A = A + eps * jnp.eye(3, dtype=A.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], -1),
+        jnp.stack([c10, c11, c12], -1),
+        jnp.stack([c20, c21, c22], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ransac_tpu.ops.linalg import nullspace_last_fast, solve_quartic_real
+from ransac_tpu.ops.linalg import (inv3x3, nullspace_last_fast,
+                                    solve_quartic_real, solve_unrolled)
 from ransac_tpu.ops.rotation import project_to_so3
 
 
@@ -217,9 +218,9 @@ def epnp(Xw: jnp.ndarray, pixels_norm: jnp.ndarray,
     ones_row = jnp.ones((*ctrl.shape[:-2], 1, 4), ctrl.dtype)
     CT = jnp.concatenate([jnp.swapaxes(ctrl, -1, -2), ones_row], axis=-2)
     Xh = jnp.concatenate([Xw, jnp.ones_like(Xw[..., :1])], -1)  # [...,N,4]
-    alphas = jnp.linalg.solve(
+    alphas, _ = solve_unrolled(
         jnp.broadcast_to(CT[..., None, :, :], (*Xw.shape[:-1], 4, 4)),
-        Xh[..., None]).squeeze(-1)  # [...,N,4]
+        Xh)  # [...,N,4]
 
     # M matrix (2N x 12) in normalized coords (fx=fy=1, cx=cy=0).
     u = pixels_norm[..., 0]
@@ -289,8 +290,7 @@ def epnp(Xw: jnp.ndarray, pixels_norm: jnp.ndarray,
         rhs = (dist_w[..., iu[0], iu[1]] ** 2)[..., None]
         AtA = jnp.einsum("...ni,...nj->...ij", A, A)
         Atb = jnp.einsum("...ni,...nk->...ik", A, rhs)[..., 0]
-        sol = jnp.linalg.solve(
-            AtA + 1e-9 * jnp.eye(3, dtype=A.dtype), Atb[..., None])[..., 0]
+        sol = jnp.einsum("...ij,...j->...i", inv3x3(AtA, eps=1e-9), Atb)
         b1 = jnp.sqrt(jnp.maximum(sol[..., 0], 1e-20))
         b2 = sol[..., 1] / jnp.maximum(b1, 1e-10)
         cc_cam = b1[..., None, None] * cc1 + b2[..., None, None] * cc2

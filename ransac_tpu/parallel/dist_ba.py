@@ -20,6 +20,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ransac_tpu.ba.bundle import BAProblem, _blocks, cost_fn
+from ransac_tpu.ops.linalg import inv3x3
 
 
 def _local_blocks(pb: BAProblem, cams, pts, huber, n_cam, n_pt):
@@ -68,7 +69,7 @@ def distributed_bundle_adjust(
             Ud = U + lam * dU[..., None] * jnp.eye(6, dtype=r.dtype)
             dV = jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)
             Vd = V + lam * dV[..., None] * jnp.eye(3, dtype=r.dtype)
-            Vinv = jnp.linalg.inv(Vd + 1e-9 * jnp.eye(3))
+            Vinv = inv3x3(Vd, eps=1e-9)
 
             Y = W @ Vinv[obs_pt]
             onehot_c = jax.nn.one_hot(obs_cam, n_cam, dtype=r.dtype)

@@ -29,6 +29,7 @@ import numpy as np
 from ransac_tpu.io.tables import Scene
 from ransac_tpu.models import ransac as ransac_mod
 from ransac_tpu.ops import homography as hops
+from ransac_tpu.ops.linalg import inv3x3
 from ransac_tpu.ops import projection as proj
 from ransac_tpu.ops.lm import refine_homography
 from ransac_tpu.utils.config import LocalizeConfig, RansacConfig
@@ -48,7 +49,7 @@ def reference_scores(H, pos2, pixels, inlier_mask, point_mask, ransacbound):
     e1 = jnp.linalg.norm(pred_pix - pixels, axis=-1)
     e1 = jnp.where(jnp.isfinite(e1), e1, 1e9)
     err1 = (e1 * inl_f).sum()
-    pred_plane = hops.apply_h(jnp.linalg.inv(H), pixels)
+    pred_plane = hops.apply_h(inv3x3(H), pixels)
     e2 = jnp.linalg.norm(pred_plane - pos2, axis=-1)
     e2 = jnp.where(jnp.isfinite(e2), e2, 1e9)
     err2 = (e2 * inl_f).sum()
