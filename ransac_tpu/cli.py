@@ -340,6 +340,32 @@ def _cmd_profile(args):
     prof.measure("dlt_minimal_solve", jax.jit(solve), idx,
                  flops=H * 700, bytes_moved=H * (32 + 36 + 4))
 
+    # Matching (BASELINE.md: "BA/matching kernel SoL"): batched
+    # mutual-NN over descriptor matmuls — MXU work.
+    from ransac_tpu.features.match import mutual_nn_match
+
+    B, Kp, D = 16, 1024, 64
+    descs = [(jnp.asarray(rng.normal(size=(B, Kp, D)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(B, Kp, D)).astype(np.float32)))
+             for _ in range(11)]
+    valid = jnp.ones((B, Kp), bool)
+
+    def match(d1, d2):
+        return jax.vmap(mutual_nn_match)(
+            d1, d2, valid, valid)
+
+    prof.measure("mutual_nn_match", jax.jit(match), *descs[0],
+                 flops=B * 2 * Kp * Kp * D, bytes_moved=B * 2 * Kp * D * 4,
+                 vary=lambda i: descs[i % len(descs)])
+
+    from ransac_tpu.features.detect import harris_response
+
+    imgs = [jnp.asarray(rng.random((1024, 1024)).astype(np.float32))
+            for _ in range(11)]
+    prof.measure("harris_response_1024", jax.jit(harris_response), imgs[0],
+                 flops=1024 * 1024 * 400, bytes_moved=1024 * 1024 * 4 * 6,
+                 vary=lambda i: (imgs[i % len(imgs)],))
+
     print(prof.table())
     if args.out:
         import json as jsonmod
