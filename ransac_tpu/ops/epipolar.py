@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ransac_tpu.ops.homography import normalization_transform
-from ransac_tpu.ops.linalg import nullspace_last_fast
+from ransac_tpu.ops.linalg import nullspace_last_fast, svd3x3
 from ransac_tpu.ops.rotation import project_to_so3
 
 
@@ -45,7 +45,7 @@ def eight_point(
     # survive denormalization (enforcing sigma1=sigma2 there visibly
     # distorts an exact essential matrix and costs inliers).
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
-    U, S, Vt = jnp.linalg.svd(F)
+    U, S, Vt = svd3x3(F)
     if essential:
         s = (S[..., 0] + S[..., 1]) / 2.0
         S2 = jnp.stack([s, s, jnp.zeros_like(s)], -1)
@@ -72,7 +72,7 @@ def sampson_distance(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
 def decompose_essential(E: jnp.ndarray):
     """E -> four candidate (R, t) with ||t||=1: (R1,t), (R1,-t), (R2,t),
     (R2,-t).  Returns (R [...,4,3,3], t [...,4,3])."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3x3(E)
     # Ensure proper rotations.
     detU = jnp.linalg.det(U)
     detV = jnp.linalg.det(Vt)

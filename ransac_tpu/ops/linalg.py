@@ -242,3 +242,143 @@ def inv3x3(A: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
         jnp.stack([c20, c21, c22], -1),
     ], -2)
     return adj * inv_det[..., None, None]
+
+
+def eigh3x3(A: jnp.ndarray):
+    """Closed-form eigendecomposition of a symmetric 3x3 batch.
+
+    Returns (eigvals ascending [...,3], V [...,3,3] orthonormal columns).
+    Batched ``jnp.linalg.eigh``/``svd`` lower to serial per-matrix loops on
+    TPU; this is the vectorized replacement used by the 3x3 SVD below.
+
+    Eigenvalues: trigonometric (Smith) formula.  Eigenvectors: the most
+    isolated eigenvalue's vector via the largest row-cross-product of
+    (A - lam I) (rank 2 there, robust even when the other two eigenvalues
+    coincide); the remaining pair from the exact 2x2 Jacobi rotation in
+    its orthogonal complement — no branch is ill-conditioned for
+    essential-matrix spectra (sigma1 = sigma2).
+    """
+    # Scale-normalize: p^3 in the trig formula underflows f32 for
+    # small-magnitude inputs (|A| ~ 1e-6 -> p^3 ~ 1e-36).
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True), 1e-30)
+    A = A / scale
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det(B)/2 with B = (A - qI)/p
+    detb = (b00 * (a11 - q) * (a22 - q) + 2.0 * a01 * a12 * a02
+            - b00 * a12 * a12 - b11 * a02 * a02 - b22 * a01 * a01)
+    r = jnp.clip(detb / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_pi_3 = 2.0943951023931953
+    l2 = q + 2.0 * p * jnp.cos(phi)              # largest
+    l0 = q + 2.0 * p * jnp.cos(phi + two_pi_3)   # smallest
+    l1 = 3.0 * q - l0 - l2
+
+    eye = jnp.eye(3, dtype=A.dtype)
+
+    def cross(u, v):
+        return jnp.stack([
+            u[..., 1] * v[..., 2] - u[..., 2] * v[..., 1],
+            u[..., 2] * v[..., 0] - u[..., 0] * v[..., 2],
+            u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]], -1)
+
+    def unit(v):
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+    # Most isolated eigenvalue (farthest from the other two).
+    iso_is_low = (l1 - l0) > (l2 - l1)
+    lam_iso = jnp.where(iso_is_low, l0, l2)
+    B = A - lam_iso[..., None, None] * eye
+    r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
+    c01, c02, c12 = cross(r0, r1), cross(r0, r2), cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, -1)
+    n02 = jnp.sum(c02 * c02, -1)
+    n12 = jnp.sum(c12 * c12, -1)
+    best = jnp.stack([n01, n02, n12], -1).argmax(-1)
+    pick = jax.nn.one_hot(best, 3, dtype=A.dtype)
+    v_iso = unit(pick[..., 0:1] * c01 + pick[..., 1:2] * c02
+                 + pick[..., 2:3] * c12)
+    # Guard: if A is (near-)spherical all crosses vanish; fall back to e0.
+    cross_mag = jnp.maximum(jnp.maximum(n01, n02), n12)
+    spherical = cross_mag < 1e-24
+    v_iso = jnp.where(spherical[..., None],
+                      jnp.broadcast_to(eye[0], v_iso.shape), v_iso)
+
+    # Orthonormal basis (w1, w2) of the complement of v_iso.
+    axis = jax.nn.one_hot(jnp.argmin(jnp.abs(v_iso), axis=-1), 3,
+                          dtype=A.dtype)
+    w1 = unit(cross(v_iso, axis))
+    w2 = cross(v_iso, w1)
+    # Restricted 2x2 symmetric eigenproblem.
+    Aw1 = jnp.einsum("...ij,...j->...i", A, w1)
+    Aw2 = jnp.einsum("...ij,...j->...i", A, w2)
+    ra = jnp.sum(w1 * Aw1, -1)
+    rb = jnp.sum(w1 * Aw2, -1)
+    rc = jnp.sum(w2 * Aw2, -1)
+    theta = 0.5 * jnp.arctan2(2.0 * rb, ra - rc)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    vp = ct[..., None] * w1 + st[..., None] * w2
+    vq = -st[..., None] * w1 + ct[..., None] * w2
+    lp = (ct * ct * ra + 2.0 * ct * st * rb + st * st * rc)
+    lq = (st * st * ra - 2.0 * ct * st * rb + ct * ct * rc)
+    swap = lp > lq
+    m_lo = jnp.where(swap, lq, lp)
+    m_hi = jnp.where(swap, lp, lq)
+    v_lo = jnp.where(swap[..., None], vq, vp)
+    v_hi = jnp.where(swap[..., None], vp, vq)
+
+    low = iso_is_low[..., None]
+    e0 = jnp.where(iso_is_low, lam_iso, m_lo)
+    e1 = jnp.where(iso_is_low, m_lo, m_hi)
+    e2 = jnp.where(iso_is_low, m_hi, lam_iso)
+    V0 = jnp.where(low, v_iso, v_lo)
+    V1 = jnp.where(low, v_lo, v_hi)
+    V2 = jnp.where(low, v_hi, v_iso)
+    vals = jnp.stack([e0, e1, e2], -1) * scale[..., 0]
+    V = jnp.stack([V0, V1, V2], -1)   # columns
+    return vals, V
+
+
+def svd3x3(F: jnp.ndarray):
+    """Closed-form batched 3x3 SVD: F = U diag(S) Vt, S descending.
+
+    Via :func:`eigh3x3` of F^T F; the left vectors come from F v / sigma
+    with the third column completed by a cross product (so det(U) = +1 —
+    downstream det-correction formulas are sign-insensitive to this, see
+    ``rotation.project_to_so3`` / ``epipolar.decompose_essential``).
+    Exact for rank-2 reconstructions (the sigma_3 component is never used
+    with a nonzero weight by callers).
+    """
+    lam, V = eigh3x3(jnp.einsum("...ji,...jk->...ik", F, F))
+    # Descending order.
+    lam_d = lam[..., ::-1]
+    V = V[..., ::-1]
+    S = jnp.sqrt(jnp.maximum(lam_d, 0.0))
+    u0 = jnp.einsum("...ij,...j->...i", F, V[..., 0]) / jnp.maximum(
+        S[..., 0], 1e-30)[..., None]
+    u1 = jnp.einsum("...ij,...j->...i", F, V[..., 1]) / jnp.maximum(
+        S[..., 1], 1e-30)[..., None]
+    # f32 safety: re-orthonormalize u1 against u0.
+    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0, axis=-1, keepdims=True), 1e-30)
+    u1 = u1 - jnp.sum(u0 * u1, -1, keepdims=True) * u0
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-30)
+    u2 = jnp.stack([
+        u0[..., 1] * u1[..., 2] - u0[..., 2] * u1[..., 1],
+        u0[..., 2] * u1[..., 0] - u0[..., 0] * u1[..., 2],
+        u0[..., 0] * u1[..., 1] - u0[..., 1] * u1[..., 0]], -1)
+    # Align u2 with F v2 when sigma_3 is non-negligible (a true SVD may
+    # need det(U) = -1); for (near-)rank-2 inputs keep the det(+1) cross.
+    fv2 = jnp.einsum("...ij,...j->...i", F, V[..., 2])
+    flip = ((jnp.sum(u2 * fv2, -1) < 0.0)
+            & (S[..., 2] > 1e-6 * jnp.maximum(S[..., 0], 1e-30)))
+    u2 = jnp.where(flip[..., None], -u2, u2)
+    U = jnp.stack([u0, u1, u2], -1)
+    Vt = jnp.swapaxes(V, -1, -2)
+    return U, S, Vt

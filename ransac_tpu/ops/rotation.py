@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ransac_tpu.ops.linalg import svd3x3
+
 _EPS = 1e-8
 
 
@@ -123,7 +125,7 @@ def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
 def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:
     """Nearest rotation matrix (Frobenius) via SVD — used after linear pose
     solves (DLT PnP, absolute orientation) to re-orthogonalize."""
-    U, _, Vt = jnp.linalg.svd(M)
+    U, _, Vt = svd3x3(M)
     det = jnp.linalg.det(U @ Vt)
     D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
     return (U * D[..., None, :]) @ Vt

@@ -347,3 +347,32 @@ def test_nullspace_last_fast_matches_svd():
             # so only the residual is comparable.)
             dots = np.abs(np.sum(xs * xf, axis=1))
             assert dots.min() > 0.9999, (m, n, noise, dots.min())
+
+
+def test_svd3x3_closed_form():
+    """Closed-form batched 3x3 SVD (eigh3x3 of F^T F) vs LAPACK across
+    random / essential (sigma1=sigma2) / near-rank-2 / extreme scales."""
+    from ransac_tpu.ops.linalg import svd3x3
+
+    rng = np.random.default_rng(0)
+    B = 512
+    Uq, _ = np.linalg.qr(rng.normal(size=(B, 3, 3)))
+    Vq, _ = np.linalg.qr(rng.normal(size=(B, 3, 3)))
+    VqT = np.swapaxes(Vq, 1, 2)
+    for F in (rng.normal(size=(B, 3, 3)),
+              (Uq * np.array([1.0, 1.0, 0.0])) @ VqT,
+              (Uq * np.array([2.0, 1.0, 1e-5])) @ VqT,
+              1e-6 * rng.normal(size=(B, 3, 3)),
+              1e6 * rng.normal(size=(B, 3, 3))):
+        F = F.astype(np.float32)
+        U, S, Vt = (np.asarray(x) for x in svd3x3(jnp.asarray(F)))
+        scale = np.abs(F).max(axis=(1, 2), keepdims=True) + 1e-30
+        rec = np.einsum("bij,bj,bjk->bik", U, S, Vt)
+        assert (np.abs(rec - F) / scale).max() < 2e-3
+        assert np.abs(np.einsum("bij,bik->bjk", U, U)
+                      - np.eye(3)).max() < 1e-5
+        assert np.abs(np.einsum("bij,bkj->bik", Vt, Vt)
+                      - np.eye(3)).max() < 1e-5
+        Sref = np.linalg.svd(F, compute_uv=False)
+        assert (np.abs(S - Sref) / (Sref[:, :1] + 1e-30)).max() < 2e-3
+        assert (np.diff(S, axis=1) <= 1e-6).all()  # descending
