@@ -156,3 +156,40 @@ def _cheirality_all(x1, x2, Rs, ts, weights):
         counts.append(c)
         Xs.append(X)
     return jnp.stack(counts, -1), jnp.stack(Xs, -3)
+
+
+def refine_relative_pose(R: jnp.ndarray, t: jnp.ndarray,
+                         x1: jnp.ndarray, x2: jnp.ndarray,
+                         weights: jnp.ndarray | None = None,
+                         max_iters: int = 20):
+    """LM-refine a relative pose on Sampson residuals of E = [t]x R.
+
+    The 8-point + inlier-refit estimate minimizes an algebraic error; this
+    polishes the 5-DoF geometric optimum (rvec + unnormalized t, norm
+    gauge absorbed by Marquardt damping) — the step OpenCV users get from
+    findEssentialMat + recoverPose + bundle steps.  Returns (R, t_unit, E).
+    """
+    from ransac_tpu.ops.lm import levenberg_marquardt
+    from ransac_tpu.ops.rotation import exp_so3, log_so3
+
+    w = jnp.ones(x1.shape[:-1], x1.dtype) if weights is None else weights
+
+    def build_E(params):
+        Rm = exp_so3(params[:3])
+        tv = params[3:]
+        tn = tv / jnp.maximum(jnp.linalg.norm(tv), 1e-12)
+        tx = jnp.array([[0.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]]) * tn[0] + \
+            jnp.array([[0, 0, 1.0], [0, 0, 0], [-1.0, 0, 0]]) * tn[1] + \
+            jnp.array([[0, -1.0, 0], [1.0, 0, 0], [0, 0, 0]]) * tn[2]
+        return tx @ Rm
+
+    def resid(params):
+        E = build_E(params)
+        d2 = sampson_distance(E, x1, x2)
+        return jnp.sqrt(jnp.maximum(d2, 1e-20)) * w
+
+    x0 = jnp.concatenate([log_so3(R), t])
+    res = levenberg_marquardt(resid, x0, max_iters=max_iters)
+    Rr = exp_so3(res.x[:3])
+    tr = res.x[3:] / jnp.maximum(jnp.linalg.norm(res.x[3:]), 1e-12)
+    return Rr, tr, build_E(res.x)

@@ -68,8 +68,11 @@ def two_view_pipeline(img1: np.ndarray, img2: np.ndarray, K: np.ndarray,
         refine_iters=cfg.ransac.refine_iters, seed=cfg.ransac.seed)
     res = ransac_mod.ransac_essential(
         x1, x2, mask, e_cfg, jax.random.key(seed))
-    R, t, X, n = epipolar.recover_pose(res.model, x1, x2,
-                                       res.inlier_mask.astype(jnp.float32))
+    inl_w = res.inlier_mask.astype(jnp.float32)
+    R0, t0, _, _ = epipolar.recover_pose(res.model, x1, x2, inl_w)
+    # Geometric polish: LM on inlier Sampson residuals over (rvec, t).
+    R, t, E_ref = epipolar.refine_relative_pose(R0, t0, x1, x2, inl_w)
+    _, _, X, n = epipolar.recover_pose(E_ref, x1, x2, inl_w)
 
     valid_rows = np.asarray(m.valid)
     return TwoViewResult(

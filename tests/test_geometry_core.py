@@ -376,3 +376,28 @@ def test_svd3x3_closed_form():
         Sref = np.linalg.svd(F, compute_uv=False)
         assert (np.abs(S - Sref) / (Sref[:, :1] + 1e-30)).max() < 2e-3
         assert (np.diff(S, axis=1) <= 1e-6).all()  # descending
+
+
+def test_refine_relative_pose_converges():
+    """LM Sampson polish pulls a perturbed relative pose back to truth."""
+    from ransac_tpu.ops.epipolar import refine_relative_pose
+    from ransac_tpu.ops.rotation import exp_so3, geodesic_distance
+
+    rng = np.random.default_rng(4)
+    n = 60
+    Xw = rng.uniform(-1, 1, size=(n, 3)) * np.array([2, 2, 1]) + [0, 0, 6]
+    R_true = np.asarray(exp_so3(jnp.asarray([0.03, -0.05, 0.02])))
+    t_true = np.array([0.8, 0.1, 0.05])
+    t_true /= np.linalg.norm(t_true)
+    x1 = (Xw[:, :2] / Xw[:, 2:]).astype(np.float32)
+    Xc2 = Xw @ R_true.T + t_true
+    x2 = (Xc2[:, :2] / Xc2[:, 2:]).astype(np.float32)
+    # start from a visibly wrong pose
+    R0 = np.asarray(exp_so3(jnp.asarray([0.05, -0.02, 0.04])))
+    t0 = t_true + np.array([0.1, -0.08, 0.1])
+    Rr, tr, _ = refine_relative_pose(
+        jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
+        jnp.asarray(x1), jnp.asarray(x2))
+    ang = float(geodesic_distance(Rr, jnp.asarray(R_true, jnp.float32)))
+    assert ang < 2e-3, ang
+    assert abs(float(np.dot(np.asarray(tr), t_true))) > 0.9999
