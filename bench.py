@@ -51,10 +51,11 @@ def bench_sweep(n_hyp, iters):
 
     @jax.jit
     def step(seed):
+        # Row 0 of the block-reduced records = per-block min-MSAC winners.
         msac, counts, packed = homography_ransac_sweep(
             seed, src, dst, mask, 75.0, n_hyp=n_hyp)
-        best = jnp.argmin(msac)
-        return msac[best], counts[best], packed[best]
+        best = jnp.argmin(msac[0])
+        return msac[0][best], counts[0][best], packed[0][best]
 
     out = step(0)
     jax.block_until_ready(out)

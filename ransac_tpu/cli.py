@@ -293,7 +293,7 @@ def _cmd_profile(args):
                                            n_hyp=H)
 
         prof.measure("fused_ransac_sweep", jax.jit(sweep), 0,
-                     flops=H * (1400 + 22 * n), bytes_moved=H * 28)
+                     flops=H * (700 + 22 * n), bytes_moved=H // 85)
 
         from ransac_tpu.ops.pallas.sweep_pnp import pnp_ransac_sweep
 

@@ -196,16 +196,16 @@ def ransac_homography_sweep(
     seed = _as_seed(key_or_seed)
     n_hyp = max(cfg.num_hypotheses, BLOCK_H)
     n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
+    # Block-reduced records: row 0 = per-block min-MSAC, row 1 = per-block
+    # lexicographic (max count, min MSAC).  Masked-point and degenerate
+    # hypotheses are invalidated inside the kernel, so selecting across
+    # blocks with the matching rule is exact.
     msac_all, counts_all, packed_all = homography_ransac_sweep(
         seed, src, dst, point_mask, cfg.threshold, n_hyp=n_hyp,
         interpret=interpret)
-    # The kernel samples over all rows; invalidate hypotheses whose minimal
-    # sample touched a masked-out point (engine sample_ok semantics).
-    pm = jnp.zeros(16, bool).at[:src.shape[0]].set(point_mask.astype(bool))
-    sample_ok = (pm[packed_all & 15] & pm[(packed_all >> 4) & 15]
-                 & pm[(packed_all >> 8) & 15] & pm[(packed_all >> 12) & 15])
-    msac_all = jnp.where(sample_ok, msac_all, jnp.inf)
-    counts_all = jnp.where(sample_ok, counts_all, -1.0)
+    row = 1 if cfg.selection == "count" else 0
+    msac_all, counts_all, packed_all = (
+        msac_all[row], counts_all[row], packed_all[row])
     best = _select_best(counts_all, msac_all, cfg.selection)
     sample_packed = packed_all[best]
     sample = jnp.stack([

@@ -3,19 +3,31 @@
 The stage-wise engine (sample -> gather -> solve -> score as separate XLA
 ops) is HBM-bound: every hypothesis round-trips its sampled points, its
 8x8 system, and its model through HBM (~500 B/hypothesis).  This kernel
-fuses the entire hypothesize-and-verify sweep: each grid step seeds the
-on-core PRNG, draws BLOCK_H 4-point samples (Fisher-Yates index
-adjustment), gathers the (<=16-point) correspondence set from scalar
-memory via one-hot accumulation, Hartley-normalizes per sample, solves the
-8x8 DLT system by fully-unrolled Gaussian elimination held in vector
-registers, scores all points, and reduces to ONE best-candidate record per
-block — HBM traffic is 16 bytes per BLOCK.
+fuses the entire hypothesize-and-verify sweep: each grid step derives its
+hypothesis sample indices from an in-kernel counter-based PRNG
+(murmur3-finalizer hash of the flat hypothesis index — no random tensor is
+ever materialized in HBM), gathers the (<=16-point) correspondence set from
+scalar memory via a log2 selection tree, solves the 4-point homography in
+closed form by the division-free projective-frame (adjugate) method, scores
+all points, and reduces each block to TWO best-candidate records (best by
+MSAC and best by lexicographic inlier count) — HBM traffic is ~24 bytes per
+BLOCK_H=2048 hypotheses.
 
-The winning minimal sample is returned as packed point indices; the host
-re-solves that single sample (exactly, with pivoting) and refits on its
-inliers, so end-to-end results match the stage-wise engine's semantics.
+Solver: A maps the canonical projective basis (e1,e2,e3,e1+e2+e3) onto the
+4 src points — solve [s1 s2 s3] lam = s4 by Cramer (the common 1/det drops
+because homographies are up-to-scale), A = [lam1*s1 | lam2*s2 | lam3*s3];
+B likewise for dst; H = B @ adj(A).  ~150 vector ops with NO divides or
+sqrts, vs ~700 for Hartley normalization + pivoted 8x8 Gaussian
+elimination.  The caller globally pre-normalizes both point sets to O(1)
+once (inlier decisions are unchanged because the threshold is scaled
+along), so f32 suffices for hypothesis *ranking*; the winning minimal
+sample is returned as packed point indices and the host re-solves it
+exactly and refits on its inliers, so end-to-end results match the
+stage-wise engine's semantics.
 
-This is the SURVEY.md §7.2(2) "hypotheses/s/chip headline kernel".
+This is the SURVEY.md §7.2(2) "hypotheses/s/chip headline kernel"; it
+replaces cv2.findHomography's internal hypothesize-and-verify loop
+(reference main_v1.py:312).
 """
 
 from __future__ import annotations
@@ -28,7 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_H = 2048
+from ransac_tpu.ops.pallas.gather import tree_gather_many
+
+BLOCK_H = 4096
 # Hypotheses are held as 2-D [SUB, LAN] vectors: Mosaic lays 1-D arrays out
 # on a single sublane (1/8 of each (8,128) vreg), so 2-D tiles use the VPU
 # at full width.
@@ -36,17 +50,29 @@ SUB = 8
 LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 
+def _fmix(x):
+    """murmur3 32-bit finalizer: bijective avalanche mixer (counter PRNG)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
 
-def _make_kernel(n_points: int, n_score: int):
+
+def _make_kernel(n_points: int, n_score: int, reduce_block: bool):
     """Kernel specialized for static sample pool size / score count."""
 
-    def kernel(src_ref, dst_ref, mask_ref, thr_ref, bits_ref,
+    def kernel(src_ref, dst_ref, mask_ref, thr_ref, seed_ref, vmask_ref,
                fbest_ref, ibest_ref):
         thr_sq = thr_ref[0]
-        # Counter-based random bits are streamed in ([4, SUB, LAN] per
-        # block, 16 B/hypothesis): testable on every backend, and trivial
-        # against the >400 fused ops the kernel performs per hypothesis.
-        bits = pltpu.bitcast(bits_ref[...], jnp.uint32)
+        # Counter-based PRNG: flat hypothesis index hashed with 4
+        # pre-mixed per-draw seeds.  No random bits cross HBM.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
+        flat = pl.program_id(0) * BLOCK_H + sub * LAN + lane
+        flatu = pltpu.bitcast(flat, jnp.uint32)
+        bits = [_fmix(flatu ^ seed_ref[j]) for j in range(4)]
 
         # Fisher-Yates: draw r_j in [0, n-j), shift past earlier picks.
         idx = []
@@ -67,104 +93,63 @@ def _make_kernel(n_points: int, n_score: int):
                 r = r + (r >= s).astype(jnp.int32)
             idx.append(r)
 
-        # Gather sampled coordinates by one-hot accumulation from SMEM.
-        def gather(ref, col, ind):
-            acc = jnp.zeros((SUB, LAN), jnp.float32)
-            for n in range(n_points):
-                acc = acc + jnp.where(ind == n, ref[n, col], 0.0)
-            return acc
+        # Masked-out points poison any hypothesis that sampled them
+        # (engine sample_ok semantics): one variable-shift bit test per
+        # draw against the caller's validity bitmask.
+        vmask = vmask_ref[0]
+        ok_bits = ((vmask >> idx[0]) & (vmask >> idx[1])
+                   & (vmask >> idx[2]) & (vmask >> idx[3]))
+        valid = (ok_bits & 1) == 1
 
-        sx = [gather(src_ref, 0, i) for i in idx]
-        sy = [gather(src_ref, 1, i) for i in idx]
-        dx = [gather(dst_ref, 0, i) for i in idx]
-        dy = [gather(dst_ref, 1, i) for i in idx]
+        # Gather sampled coordinates via the log2 selection tree (shared
+        # index bit masks; ~4x fewer vector ops than one-hot accumulation).
+        cols = [[src_ref[n, 0] for n in range(n_points)],
+                [src_ref[n, 1] for n in range(n_points)],
+                [dst_ref[n, 0] for n in range(n_points)],
+                [dst_ref[n, 1] for n in range(n_points)]]
+        g = [tree_gather_many(i, cols, n_points) for i in idx]
+        sx = [g[j][0] for j in range(4)]
+        sy = [g[j][1] for j in range(4)]
+        dx = [g[j][2] for j in range(4)]
+        dy = [g[j][3] for j in range(4)]
 
-        def hartley(xs, ys):
-            mx = (xs[0] + xs[1] + xs[2] + xs[3]) * 0.25
-            my = (ys[0] + ys[1] + ys[2] + ys[3]) * 0.25
-            d = [jnp.sqrt((x - mx) ** 2 + (y - my) ** 2 + 1e-20)
-                 for x, y in zip(xs, ys)]
-            md = (d[0] + d[1] + d[2] + d[3]) * 0.25
-            s = 1.4142135623730951 / jnp.maximum(md, 1e-12)
-            xn = [(x - mx) * s for x in xs]
-            yn = [(y - my) * s for y in ys]
-            return xn, yn, mx, my, s
+        # Projective-frame 4-point homography (division-free, up to scale).
+        def det3(px, py, qx, qy, rx, ry):
+            # det of columns [(px,py,1),(qx,qy,1),(rx,ry,1)]
+            return (qx - px) * (ry - py) - (rx - px) * (qy - py)
 
-        sxn, syn, smx, smy, ss = hartley(sx, sy)
-        dxn, dyn, dmx, dmy, sd = hartley(dx, dy)
+        def frame(xs, ys):
+            d0 = det3(xs[0], ys[0], xs[1], ys[1], xs[2], ys[2])
+            l1 = det3(xs[3], ys[3], xs[1], ys[1], xs[2], ys[2])
+            l2 = det3(xs[0], ys[0], xs[3], ys[3], xs[2], ys[2])
+            l3 = det3(xs[0], ys[0], xs[1], ys[1], xs[3], ys[3])
+            # M = [l1*s1 | l2*s2 | l3*s3], rows (x, y, 1)-scaled
+            M = [[l1 * xs[0], l2 * xs[1], l3 * xs[2]],
+                 [l1 * ys[0], l2 * ys[1], l3 * ys[2]],
+                 [l1, l2, l3]]
+            ok = ((jnp.abs(d0) > 1e-7) & (jnp.abs(l1) > 1e-7)
+                  & (jnp.abs(l2) > 1e-7) & (jnp.abs(l3) > 1e-7))
+            return M, ok
 
-        # Augmented 8x9 system (normalized coords), entries = lane vectors.
-        # Row order matters for pivot-free elimination: the u-rows live in
-        # columns {0,1,2,6,7}, the v-rows in {3,4,5,6,7}; ordering
-        # [u0,u1,u2, v0,v1,v2, u3,v3] keeps a structurally nonzero pivot at
-        # every step (near-zero pivots from degenerate samples are caught
-        # by the validity check).
-        one = jnp.ones((SUB, LAN), jnp.float32)
-        zero = jnp.zeros((SUB, LAN), jnp.float32)
+        A, ok_s = frame(sx, sy)
+        B, ok_d = frame(dx, dy)
+        valid = valid & ok_s & ok_d
 
-        def u_row(j):
-            x, y, u = sxn[j], syn[j], dxn[j]
-            return [x, y, one, zero, zero, zero, -u * x, -u * y, u]
-
-        def v_row(j):
-            x, y, v = sxn[j], syn[j], dyn[j]
-            return [zero, zero, zero, x, y, one, -v * x, -v * y, v]
-
-        aug = [u_row(0), u_row(1), u_row(2),
-               v_row(0), v_row(1), v_row(2),
-               u_row(3), v_row(3)]
-
-        valid = jnp.ones((SUB, LAN), jnp.bool_)
-        # Group-restricted partial pivoting (branch-free conditional row
-        # swaps).  Without pivoting, a sample point at the normalized
-        # centroid (x = 0) zeroes the structural pivot and a solvable
-        # sample is wrongly rejected.  Swapping only within each structural
-        # group is sufficient: rows outside the group have *structural*
-        # zeros in the pivot column (v-rows in cols 0-2, u3 in cols 3-5),
-        # so they can never offer a better pivot.  Groups: rows 0-2
-        # (u0..u2), rows 3-5 (v0..v2), rows 6-7 (u3, v3).
-        group_end = {0: 3, 1: 3, 2: 3, 3: 6, 4: 6, 5: 6, 6: 8, 7: 8}
-        for k in range(8):
-            for i in range(k + 1, group_end[k]):
-                swap = jnp.abs(aug[i][k]) > jnp.abs(aug[k][k])
-                for c in range(k, 9):
-                    a_k = aug[k][c]
-                    a_i = aug[i][c]
-                    aug[k][c] = jnp.where(swap, a_i, a_k)
-                    aug[i][c] = jnp.where(swap, a_k, a_i)
-            p = aug[k][k]
-            valid = valid & (jnp.abs(p) > 1e-7)
-            inv_p = 1.0 / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)
-            for i in range(k + 1, 8):
-                f = aug[i][k] * inv_p
-                for c in range(k + 1, 9):
-                    aug[i][c] = aug[i][c] - f * aug[k][c]
-        h = [zero] * 8
-        for k in range(7, -1, -1):
-            acc = aug[k][8]
-            for c in range(k + 1, 8):
-                acc = acc - aug[k][c] * h[c]
-            p = aug[k][k]
-            h[k] = acc / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)
-
-        # Denormalize: H = Td^-1 Hn Ts with
-        #   Ts = [[ss,0,-ss*smx],[0,ss,-ss*smy],[0,0,1]]
-        #   Td^-1 = [[1/sd,0,dmx],[0,1/sd,dmy],[0,0,1]]
-        hn = h + [one]
-        m = [None] * 9  # M = Hn @ Ts
+        # adj(A): transpose of cofactors.
+        adjA = [[A[1][1] * A[2][2] - A[1][2] * A[2][1],
+                 A[0][2] * A[2][1] - A[0][1] * A[2][2],
+                 A[0][1] * A[1][2] - A[0][2] * A[1][1]],
+                [A[1][2] * A[2][0] - A[1][0] * A[2][2],
+                 A[0][0] * A[2][2] - A[0][2] * A[2][0],
+                 A[0][2] * A[1][0] - A[0][0] * A[1][2]],
+                [A[1][0] * A[2][1] - A[1][1] * A[2][0],
+                 A[0][1] * A[2][0] - A[0][0] * A[2][1],
+                 A[0][0] * A[1][1] - A[0][1] * A[1][0]]]
+        H = [None] * 9
         for r in range(3):
-            a, b, c = hn[3 * r], hn[3 * r + 1], hn[3 * r + 2]
-            m[3 * r] = a * ss
-            m[3 * r + 1] = b * ss
-            m[3 * r + 2] = -ss * (a * smx + b * smy) + c
-        inv_sd = 1.0 / sd
-        H = [
-            m[0] * inv_sd + dmx * m[6], m[1] * inv_sd + dmx * m[7],
-            m[2] * inv_sd + dmx * m[8],
-            m[3] * inv_sd + dmy * m[6], m[4] * inv_sd + dmy * m[7],
-            m[5] * inv_sd + dmy * m[8],
-            m[6], m[7], m[8],
-        ]
+            for c in range(3):
+                H[3 * r + c] = (B[r][0] * adjA[0][c] + B[r][1] * adjA[1][c]
+                                + B[r][2] * adjA[2][c])
 
         # Score all points.
         count = jnp.zeros((SUB, LAN), jnp.float32)
@@ -186,28 +171,66 @@ def _make_kernel(n_points: int, n_score: int):
             msac = msac + jnp.minimum(e2, thr_sq) * w_pt
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
+        count = jnp.where(valid, count, -1.0)
         packed = (idx[0] + idx[1] * 16 + idx[2] * 256 + idx[3] * 4096)
-        # Per-hypothesis records (12 B each; the argmin runs in XLA).
-        fbest_ref[0] = msac
-        fbest_ref[1] = count
-        ibest_ref[0] = packed
+
+        if not reduce_block:
+            # Per-hypothesis records (12 B each; the argmin runs in XLA).
+            fbest_ref[0] = msac
+            fbest_ref[1] = count
+            ibest_ref[0] = packed
+            return
+
+        # Sublane reduction (8x record shrink): one record per LANE per
+        # selection rule (min-MSAC and lexicographic max-count), ties
+        # broken by smallest packed index.  Cross-sublane min/max are
+        # cheap (3 shuffle steps); full cross-lane reductions measured
+        # ~0.6 us/block and are left to XLA's argmin over the records.
+        msac_m = jnp.min(msac, axis=0, keepdims=True)
+        selm = msac == msac_m
+        packed_m = jnp.min(jnp.where(selm, packed, 2 ** 30),
+                           axis=0, keepdims=True)
+        count_m = jnp.max(jnp.where(selm & (packed == packed_m),
+                                    count, -2.0), axis=0, keepdims=True)
+        count_c = jnp.max(count, axis=0, keepdims=True)
+        selc = count == count_c
+        msac_c = jnp.min(jnp.where(selc, msac, jnp.float32(3.4e38)),
+                         axis=0, keepdims=True)
+        packed_c = jnp.min(jnp.where(selc & (msac == msac_c),
+                                     packed, 2 ** 30),
+                           axis=0, keepdims=True)
+        fbest_ref[...] = jnp.concatenate(
+            [msac_m, count_m, msac_c, count_c], axis=0)
+        ibest_ref[...] = jnp.concatenate([packed_m, packed_c], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_hyp", "n_points", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "n_points", "interpret", "full_records"))
 def homography_ransac_sweep(
     seed: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
     point_mask: jnp.ndarray, threshold, n_hyp: int,
     n_points: int | None = None, interpret: bool = False,
+    full_records: bool = False,
 ):
-    """Run the fused sweep.  Returns per-hypothesis (msac [H], counts [H],
-    packed_idx [H]); take argmin(msac) and ``unpack_sample`` the winner.
-    Invalid hypotheses carry msac ~ 3.4e38.
+    """Run the fused sweep.
 
-    ``n_points`` (static) is the sample pool size (first n_points rows of
-    src/dst must be valid); scoring uses all rows weighted by point_mask.
+    Default (``full_records=False``): returns sublane-reduced records
+    ``(msac [2, B], counts [2, B], packed_idx [2, B])`` with B = n_hyp / 8
+    — row 0 selects by min MSAC, row 1 by lexicographic (max count, min
+    MSAC).  ``argmin(msac[0])`` / ``_select_best`` on row 1 give exactly
+    the same winner as over per-hypothesis records.
+
+    ``full_records=True``: per-hypothesis ``(msac [H], counts [H],
+    packed [H])`` — 4000x more HBM traffic, for tests/inspection only.
+
+    Hypotheses whose minimal sample is degenerate OR touches a point with
+    ``point_mask == 0`` carry msac ~3.4e38 and count -1.  ``n_points``
+    (static) is the sample pool size (first n_points rows of src/dst);
+    scoring uses all rows weighted by point_mask.  ``unpack_sample`` the
+    winning packed index and re-solve exactly on the host.
     """
     n = src.shape[0]
     if n_points is None:
@@ -215,17 +238,59 @@ def homography_ransac_sweep(
     assert n <= MAX_POINTS
     n_blocks = max(n_hyp // BLOCK_H, 1)
 
-    src_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(src)
-    dst_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(dst)
+    # Global O(1) normalization (replaces per-sample Hartley inside the
+    # kernel): center on the sample-pool centroid, scale by mean distance.
+    # Inlier decisions are identical (the threshold scales with dst) and
+    # msac is rescaled back to pixel^2 units below; the kernel then needs
+    # no divides/sqrts at all.
+    def _norm_params(a):
+        m = jnp.sum(a[:n_points], 0) / n_points
+        d = jnp.sqrt(jnp.sum((a[:n_points] - m) ** 2, -1))
+        s = 1.4142135623730951 / jnp.maximum(jnp.sum(d) / n_points, 1e-12)
+        return m, s
+
+    sm, s_src = _norm_params(src)
+    dm, s_dst = _norm_params(dst)
+    src_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(
+        (src - sm) * s_src)
+    dst_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(
+        (dst - dm) * s_dst)
     mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
         point_mask.astype(jnp.float32))
-    thr = jnp.asarray(threshold, jnp.float32).reshape(1) ** 2
-    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
-    # Hypothesis (s, b, l) lives at flat index s*(n_blocks*LAN) + b*LAN + l;
-    # all tensors below use that order consistently.
-    bits = jax.random.bits(key, (4, SUB, n_blocks * LAN), jnp.uint32)
+    thr = (jnp.asarray(threshold, jnp.float32).reshape(1) * s_dst) ** 2
+    # Per-draw seeds: mix the user seed with the draw id (golden-ratio
+    # spaced) so the four index streams are independent.
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    seeds = _fmix(seed_u + jnp.arange(1, 5, dtype=jnp.uint32)
+                  * jnp.uint32(0x9E3779B9))
+    # Sample-validity bitmask: bit n set iff point n may be sampled.
+    vmask = jnp.sum(
+        jnp.where(mask_p > 0, jnp.int32(1) << jnp.arange(MAX_POINTS), 0)
+    ).reshape(1).astype(jnp.int32)
 
-    kernel = _make_kernel(n_points, n)
+    kernel = _make_kernel(n_points, n, reduce_block=not full_records)
+    if full_records:
+        out_specs = (
+            pl.BlockSpec((2, SUB, LAN), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((2, SUB, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((4, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
+        )
     fbest, ibest = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -234,26 +299,29 @@ def homography_ransac_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dst
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
-            pl.BlockSpec((4, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),  # random bits
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sample bitmask
         ],
-        out_specs=(
-            pl.BlockSpec((2, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((2, SUB, n_blocks * LAN), jnp.float32),
-            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n_hyp * (1400 + 22 * n), transcendentals=n_hyp * 8,
-            bytes_accessed=n_blocks * 16),
-    )(src_p, dst_p, mask_p, thr, bits)
-    return (fbest[0].reshape(-1), fbest[1].reshape(-1),
-            ibest[0].reshape(-1))
+            flops=n_hyp * (700 + 22 * n), transcendentals=0,
+            bytes_accessed=n_blocks * 24),
+    )(src_p, dst_p, mask_p, thr, seeds, vmask)
+
+    inv_s2 = 1.0 / (s_dst * s_dst)
+
+    def _rescale(m):
+        return jnp.where(m >= jnp.float32(3e38), jnp.float32(3.4e38),
+                         m * inv_s2)
+
+    if full_records:
+        return (_rescale(fbest[0].reshape(-1)), fbest[1].reshape(-1),
+                ibest[0].reshape(-1))
+    return (_rescale(fbest[jnp.array([0, 2])]),
+            fbest[jnp.array([1, 3])],
+            ibest)
 
 
 def unpack_sample(packed: int) -> np.ndarray:

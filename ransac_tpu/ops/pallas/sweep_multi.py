@@ -6,11 +6,20 @@ handles one candidate per launch.  This kernel adds the candidate axis to
 the grid: each grid step (c, b) loads candidate c's plane-projected points
 from its VMEM block, runs BLOCK_H hypotheses from a *shared, precomputed*
 sample-index tensor (exhaustive enumeration — identical combos for every
-candidate, streamed once), and writes the per-(candidate, block) winner.
+candidate, streamed once), and writes sublane-reduced per-(candidate,
+lane) winner records.
 
 The full search's hypothesize-and-verify therefore runs as ONE launch with
 O(C) HBM traffic, feeding the existing per-candidate refit + reference
-scoring (pipelines.localize).
+scoring (pipelines.localize).  It replaces the 458 sequential
+cv2.findHomography RANSAC loops of the reference (main_v1.py:274-284,312).
+
+The solver is the same division/sqrt-free projective-frame (adjugate)
+4-point homography as ``sweep.py`` (see its module docstring): the shared
+pixel set is globally normalized to O(1) once in the wrapper (threshold
+scaled along, msac rescaled back), candidate plane points are O(1) by
+construction, and each candidate's winning sample is re-solved exactly
+downstream.
 """
 
 from __future__ import annotations
@@ -22,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ransac_tpu.ops.pallas.gather import tree_gather_many
 
 BLOCK_H = 1024
 SUB = 8
@@ -36,91 +47,51 @@ def _make_kernel(n_score: int):
         src = src_ref[0]          # [MAX_POINTS, 2] candidate block (VMEM)
         idx = idx_ref[...]        # [4, SUB, LAN] int32 sample indices
 
-        def gather_src(col, ind):
-            acc = jnp.zeros((SUB, LAN), jnp.float32)
-            for nn in range(n_score):
-                acc = acc + jnp.where(ind == nn, src[nn, col], 0.0)
-            return acc
+        cols = [[src[nn, 0] for nn in range(n_score)],
+                [src[nn, 1] for nn in range(n_score)],
+                [dst_ref[nn, 0] for nn in range(n_score)],
+                [dst_ref[nn, 1] for nn in range(n_score)]]
+        g = [tree_gather_many(idx[j], cols, n_score) for j in range(4)]
+        sx = [g[j][0] for j in range(4)]
+        sy = [g[j][1] for j in range(4)]
+        dx = [g[j][2] for j in range(4)]
+        dy = [g[j][3] for j in range(4)]
 
-        def gather_dst(col, ind):
-            acc = jnp.zeros((SUB, LAN), jnp.float32)
-            for nn in range(n_score):
-                acc = acc + jnp.where(ind == nn, dst_ref[nn, col], 0.0)
-            return acc
+        # Projective-frame 4-point homography (division-free, up to scale;
+        # see sweep.py).
+        def det3(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (rx - px) * (qy - py)
 
-        sx = [gather_src(0, idx[j]) for j in range(4)]
-        sy = [gather_src(1, idx[j]) for j in range(4)]
-        dx = [gather_dst(0, idx[j]) for j in range(4)]
-        dy = [gather_dst(1, idx[j]) for j in range(4)]
+        def frame(xs, ys):
+            d0 = det3(xs[0], ys[0], xs[1], ys[1], xs[2], ys[2])
+            l1 = det3(xs[3], ys[3], xs[1], ys[1], xs[2], ys[2])
+            l2 = det3(xs[0], ys[0], xs[3], ys[3], xs[2], ys[2])
+            l3 = det3(xs[0], ys[0], xs[1], ys[1], xs[3], ys[3])
+            M = [[l1 * xs[0], l2 * xs[1], l3 * xs[2]],
+                 [l1 * ys[0], l2 * ys[1], l3 * ys[2]],
+                 [l1, l2, l3]]
+            ok = ((jnp.abs(d0) > 1e-7) & (jnp.abs(l1) > 1e-7)
+                  & (jnp.abs(l2) > 1e-7) & (jnp.abs(l3) > 1e-7))
+            return M, ok
 
-        def hartley(xs, ys):
-            mx = (xs[0] + xs[1] + xs[2] + xs[3]) * 0.25
-            my = (ys[0] + ys[1] + ys[2] + ys[3]) * 0.25
-            d = [jnp.sqrt((x - mx) ** 2 + (y - my) ** 2 + 1e-20)
-                 for x, y in zip(xs, ys)]
-            md = (d[0] + d[1] + d[2] + d[3]) * 0.25
-            s = 1.4142135623730951 / jnp.maximum(md, 1e-12)
-            return ([(x - mx) * s for x in xs], [(y - my) * s for y in ys],
-                    mx, my, s)
+        A, ok_s = frame(sx, sy)
+        B, ok_d = frame(dx, dy)
+        valid = ok_s & ok_d
 
-        sxn, syn, smx, smy, ss = hartley(sx, sy)
-        dxn, dyn, dmx, dmy, sd = hartley(dx, dy)
-
-        one = jnp.ones((SUB, LAN), jnp.float32)
-        zero = jnp.zeros((SUB, LAN), jnp.float32)
-
-        def u_row(j):
-            x, y, u = sxn[j], syn[j], dxn[j]
-            return [x, y, one, zero, zero, zero, -u * x, -u * y, u]
-
-        def v_row(j):
-            x, y, v = sxn[j], syn[j], dyn[j]
-            return [zero, zero, zero, x, y, one, -v * x, -v * y, v]
-
-        aug = [u_row(0), u_row(1), u_row(2),
-               v_row(0), v_row(1), v_row(2),
-               u_row(3), v_row(3)]
-
-        valid = jnp.ones((SUB, LAN), jnp.bool_)
-        group_end = {0: 3, 1: 3, 2: 3, 3: 6, 4: 6, 5: 6, 6: 8, 7: 8}
-        for k in range(8):
-            for i in range(k + 1, group_end[k]):
-                swap = jnp.abs(aug[i][k]) > jnp.abs(aug[k][k])
-                for c in range(k, 9):
-                    a_k = aug[k][c]
-                    a_i = aug[i][c]
-                    aug[k][c] = jnp.where(swap, a_i, a_k)
-                    aug[i][c] = jnp.where(swap, a_k, a_i)
-            p = aug[k][k]
-            valid = valid & (jnp.abs(p) > 1e-7)
-            inv_p = 1.0 / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)
-            for i in range(k + 1, 8):
-                f = aug[i][k] * inv_p
-                for c in range(k + 1, 9):
-                    aug[i][c] = aug[i][c] - f * aug[k][c]
-        h = [zero] * 8
-        for k in range(7, -1, -1):
-            acc = aug[k][8]
-            for c in range(k + 1, 8):
-                acc = acc - aug[k][c] * h[c]
-            p = aug[k][k]
-            h[k] = acc / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)
-
-        hn = h + [one]
-        m = [None] * 9
+        adjA = [[A[1][1] * A[2][2] - A[1][2] * A[2][1],
+                 A[0][2] * A[2][1] - A[0][1] * A[2][2],
+                 A[0][1] * A[1][2] - A[0][2] * A[1][1]],
+                [A[1][2] * A[2][0] - A[1][0] * A[2][2],
+                 A[0][0] * A[2][2] - A[0][2] * A[2][0],
+                 A[0][2] * A[1][0] - A[0][0] * A[1][2]],
+                [A[1][0] * A[2][1] - A[1][1] * A[2][0],
+                 A[0][1] * A[2][0] - A[0][0] * A[2][1],
+                 A[0][0] * A[1][1] - A[0][1] * A[1][0]]]
+        H = [None] * 9
         for r in range(3):
-            a, b, c = hn[3 * r], hn[3 * r + 1], hn[3 * r + 2]
-            m[3 * r] = a * ss
-            m[3 * r + 1] = b * ss
-            m[3 * r + 2] = -ss * (a * smx + b * smy) + c
-        inv_sd = 1.0 / sd
-        H = [
-            m[0] * inv_sd + dmx * m[6], m[1] * inv_sd + dmx * m[7],
-            m[2] * inv_sd + dmx * m[8],
-            m[3] * inv_sd + dmy * m[6], m[4] * inv_sd + dmy * m[7],
-            m[5] * inv_sd + dmy * m[8],
-            m[6], m[7], m[8],
-        ]
+            for c in range(3):
+                H[3 * r + c] = (B[r][0] * adjA[0][c] + B[r][1] * adjA[1][c]
+                                + B[r][2] * adjA[2][c])
 
         count = jnp.zeros((SUB, LAN), jnp.float32)
         msac = jnp.zeros((SUB, LAN), jnp.float32)
@@ -142,9 +113,18 @@ def _make_kernel(n_score: int):
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         packed = (idx[0] + idx[1] * 16 + idx[2] * 256 + idx[3] * 4096)
-        fbest_ref[0, 0] = msac
-        fbest_ref[0, 1] = count
-        ibest_ref[0, 0] = packed
+
+        # Sublane reduction: per-lane min-MSAC record (ties -> smallest
+        # packed index; exhaustive enumeration is deterministic).
+        msac_m = jnp.min(msac, axis=0, keepdims=True)
+        selm = msac == msac_m
+        packed_m = jnp.min(jnp.where(selm, packed, 2 ** 30),
+                           axis=0, keepdims=True)
+        count_m = jnp.max(jnp.where(selm & (packed == packed_m),
+                                    count, -2.0), axis=0, keepdims=True)
+        fbest_ref[0, 0] = msac_m[0]
+        fbest_ref[0, 1] = count_m[0]
+        ibest_ref[0, 0] = packed_m[0]
 
     return kernel
 
@@ -160,8 +140,10 @@ def multi_candidate_sweep(
 ):
     """One launch over (C candidates x H hypotheses).
 
-    Returns (msac [C, H], counts [C, H], packed [H]) — packed is shared
-    across candidates (same exhaustive sample set).
+    Returns sublane-reduced records ``(msac [C, H/8], counts [C, H/8],
+    packed [C, H/8])``: per (candidate, lane), the min-MSAC hypothesis of
+    its 8 sublane hypotheses.  ``argmin(msac, 1)`` + the matching packed
+    entry give exactly the same winner as per-hypothesis records.
     """
     C = src_all.shape[0]
     n = dst.shape[0]
@@ -171,11 +153,22 @@ def multi_candidate_sweep(
     # Hypothesis (s, b, l) <-> flat h = s*(n_blocks*LAN) + b*LAN + l.
     idx3 = sample_idx.reshape(4, SUB, n_blocks * LAN)
 
-    src_p = jnp.zeros((C, MAX_POINTS, 2), jnp.float32).at[:, :src_all.shape[1]].set(src_all)
-    dst_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(dst)
+    # Global O(1) normalization of the shared pixel set (candidate plane
+    # points are O(1) already); threshold scales along, msac scaled back.
+    dm = jnp.sum(dst * point_mask[:, None].astype(dst.dtype), 0) / (
+        jnp.maximum(jnp.sum(point_mask.astype(dst.dtype)), 1.0))
+    dd = jnp.sqrt(jnp.sum((dst - dm) ** 2, -1))
+    s_dst = 1.4142135623730951 / jnp.maximum(
+        jnp.sum(dd * point_mask.astype(dst.dtype))
+        / jnp.maximum(jnp.sum(point_mask.astype(dst.dtype)), 1.0), 1e-12)
+
+    src_p = jnp.zeros((C, MAX_POINTS, 2), jnp.float32).at[
+        :, :src_all.shape[1]].set(src_all)
+    dst_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(
+        (dst - dm) * s_dst)
     mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
         point_mask.astype(jnp.float32))
-    thr = jnp.asarray(threshold, jnp.float32).reshape(1) ** 2
+    thr = (jnp.asarray(threshold, jnp.float32).reshape(1) * s_dst) ** 2
 
     kernel = _make_kernel(n)
     fout, iout = pl.pallas_call(
@@ -191,19 +184,22 @@ def multi_candidate_sweep(
                          memory_space=pltpu.VMEM),   # sample indices
         ],
         out_specs=(
-            pl.BlockSpec((1, 2, SUB, LAN), lambda c, b: (c, 0, 0, b),
+            pl.BlockSpec((1, 2, LAN), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LAN), lambda c, b: (c, 0, 0, b),
+            pl.BlockSpec((1, 1, LAN), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, 2, SUB, n_blocks * LAN), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1, SUB, n_blocks * LAN), jnp.int32),
+            jax.ShapeDtypeStruct((C, 2, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, n_blocks * LAN), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=C * H * (1100 + 22 * n), transcendentals=C * H * 8,
-            bytes_accessed=C * (MAX_POINTS * 8 + H * 12)),
+            flops=C * H * (500 + 22 * n), transcendentals=0,
+            bytes_accessed=C * (MAX_POINTS * 8 + H * 12 // 8)),
     )(dst_p, mask_p, thr, src_p, idx3.astype(jnp.int32))
-    return (fout[:, 0].reshape(C, -1), fout[:, 1].reshape(C, -1),
-            iout[0, 0].reshape(-1))
+    inv_s2 = 1.0 / (s_dst * s_dst)
+    msac_n = fout[:, 0]
+    msac = jnp.where(msac_n >= jnp.float32(3e38), jnp.float32(3.4e38),
+                     msac_n * inv_s2)
+    return msac, fout[:, 1], iout[:, 0]

@@ -141,8 +141,10 @@ def score_candidates_sweep(
         pos2_all, pixels, point_mask, idx_j, rcfg.threshold,
         interpret=interpret)
 
+    # Records are sublane-reduced: packed is per (candidate, lane).
     best_h = jnp.argmin(msac, axis=1)                      # [C]
-    packed_best = packed[best_h]                           # [C]
+    packed_best = jnp.take_along_axis(
+        packed, best_h[:, None], axis=1)[:, 0]             # [C]
     sample = jnp.stack([packed_best & 15, (packed_best >> 4) & 15,
                         (packed_best >> 8) & 15,
                         (packed_best >> 12) & 15], axis=1)  # [C,4]

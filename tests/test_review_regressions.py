@@ -105,12 +105,15 @@ def test_pivoting_sweeps_centroid_aligned_sample():
                    dtype=np.float32)
     msac, counts, packed = homography_ransac_sweep(
         5, jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
-        2.0, n_hyp=2048, interpret=True)
+        2.0, n_hyp=2048, interpret=True, full_records=True)
     msac = np.asarray(msac)
     counts = np.asarray(counts)
     valid = msac < 1e38
-    # Without pivoting, permutations leading with a centroid-x point are
-    # wrongly rejected; with pivoting every permutation solves.
+    # The projective-frame solve must accept every permutation of a
+    # general-position sample (its validity test is collinearity of point
+    # triples, not an elimination pivot; a point at the sample centroid —
+    # which zeroed the structural pivot of the old Gaussian-elimination
+    # formulation — is not degenerate).
     assert valid.all(), valid.mean()
     assert counts.min() == 4
 

@@ -27,7 +27,7 @@ def test_sweep_finds_consensus():
     src, dst, n_in = planted()
     msac, counts, packed = homography_ransac_sweep(
         7, jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
-        75.0, n_hyp=2 * BLOCK_H, interpret=True)
+        75.0, n_hyp=2 * BLOCK_H, interpret=True, full_records=True)
     msac = np.asarray(msac)
     counts = np.asarray(counts)
     assert (msac < 1e38).mean() > 0.95  # nearly all hypotheses valid
@@ -71,7 +71,7 @@ def test_sweep_sampling_uniformity():
     src, dst, _ = planted(2)
     msac, counts, packed = homography_ransac_sweep(
         11, jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
-        75.0, n_hyp=BLOCK_H, interpret=True)
+        75.0, n_hyp=BLOCK_H, interpret=True, full_records=True)
     packed = np.asarray(packed)
     idx = np.stack([packed & 15, (packed >> 4) & 15,
                     (packed >> 8) & 15, (packed >> 12) & 15], 1)
