@@ -305,7 +305,7 @@ def _cmd_profile(args):
                                     n_hyp=H)
 
         prof.measure("fused_p3p_sweep", jax.jit(sweep_pnp), 0,
-                     flops=H * (2500 + 100 * n), bytes_moved=H * 48)
+                     flops=H * (2500 + 100 * n), bytes_moved=H // 42)
 
         from ransac_tpu.ops.pallas.sweep_essential import (
             essential_ransac_sweep)
@@ -319,7 +319,7 @@ def _cmd_profile(args):
                                           (2.0 / 600.0) ** 2, n_hyp=H)
 
         prof.measure("fused_essential_sweep", jax.jit(sweep_e), 0,
-                     flops=H * (5200 + 30 * n), bytes_moved=H * 16)
+                     flops=H * (5200 + 30 * n), bytes_moved=H // 85)
 
     models = jnp.asarray(
         (np.eye(3)[None] + rng.normal(scale=0.1, size=(H, 3, 3))

@@ -318,16 +318,22 @@ def ransac_pnp_sweep(
 
     pix_n = projection.normalize_pixels(pixels, K)
     thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
-    n_hyp = max(cfg.num_hypotheses, BLOCK_H)
-    n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
+    # Round up to a whole number of kernel blocks; small requests use a
+    # single smaller block rather than padding to the full BLOCK_H.
+    n_hyp = max(cfg.num_hypotheses, 1024)
+    block = min(BLOCK_H, -(-n_hyp // 1024) * 1024)
+    n_hyp = -(-n_hyp // block) * block
+    # Block-reduced records: row 0 = min-MSAC, row 1 = lexicographic
+    # (max count, min MSAC); masked-sample hypotheses are invalidated
+    # in-kernel, so selecting across blocks with the matching rule is
+    # exact.  The winning root id rides in packed bits 12-13 (ignored —
+    # the host re-solve scores all four roots below).
     msac_all, counts_all, packed_all = pnp_ransac_sweep(
         _as_seed(key_or_seed), Xw, pix_n, point_mask, thr_n, n_hyp=n_hyp,
-        interpret=interpret)
-    pm = jnp.zeros(16, bool).at[:Xw.shape[0]].set(point_mask.astype(bool))
-    sample_ok = (pm[packed_all & 15] & pm[(packed_all >> 4) & 15]
-                 & pm[(packed_all >> 8) & 15])
-    msac_all = jnp.where(sample_ok, msac_all, jnp.inf)
-    counts_all = jnp.where(sample_ok, counts_all, -1.0)
+        interpret=interpret, block_h=block)
+    row = 1 if cfg.selection == "count" else 0
+    msac_all, counts_all, packed_all = (
+        msac_all[row], counts_all[row], packed_all[row])
     best = _select_best(counts_all, msac_all, cfg.selection)
     packed = packed_all[best]
     sample = jnp.stack([packed & 15, (packed >> 4) & 15, (packed >> 8) & 15])

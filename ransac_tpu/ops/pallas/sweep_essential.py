@@ -1,17 +1,24 @@
 """Fully-fused 8-point essential-matrix RANSAC sweep kernel.
 
 Completes the fused hypothesize-and-verify family (homography ``sweep.py``,
-P3P ``sweep_pnp.py``): each lane draws an 8-point sample from the (<=16
-pad) normalized correspondence set, Hartley-normalizes both sides, solves
-the 8x9 epipolar system with f33=1 by unrolled partially-pivoted Gaussian
-elimination in registers, denormalizes, and scores every correspondence
-with the Sampson distance.  Rank-2 enforcement is intentionally deferred
-to the host refit: for inlier counting the unconstrained F's Sampson
-distances are near-identical, and the winning sample is re-solved exactly
-by the engine's normalized 8-point (SVD + rank projection) afterwards.
+P3P ``sweep_pnp.py``): each lane derives its 8-point sample from an
+in-kernel counter-based PRNG (murmur3-finalizer hash of the flat
+hypothesis index — no random tensor crosses HBM), gathers the sample from
+scalar memory via the shared log2 selection tree, Hartley-normalizes both
+sides, solves the 8x9 epipolar system with f33=1 by unrolled
+partially-pivoted Gaussian elimination in registers, denormalizes, scores
+every correspondence with the Sampson distance, and reduces each block to
+TWO best records (min-MSAC and lexicographic max-count) — ~24 B of HBM
+traffic per block.  Rank-2 enforcement is intentionally deferred to the
+host refit: for inlier counting the unconstrained F's Sampson distances
+are near-identical, and the winning sample is re-solved exactly by the
+engine's normalized 8-point (SVD + rank projection) afterwards.
 
-Serves BASELINE.json configs[2] ("8-point essential-matrix RANSAC") at the
-same traffic profile as the other sweeps (12 B/hypothesis).
+Hypotheses whose minimal sample touches a masked-out point are invalidated
+in-kernel, so cross-block selection over the reduced records is exact.
+
+Serves BASELINE.json configs[2] ("8-point essential-matrix RANSAC"),
+replacing OpenCV-style findEssentialMat(RANSAC) hypothesize-and-verify.
 """
 
 from __future__ import annotations
@@ -24,17 +31,37 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_H = 1024
+from ransac_tpu.ops.pallas.gather import tree_gather_many
+
+BLOCK_H = 4096
 SUB = 8
-LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 
 
-def _make_kernel(n_points: int, n_score: int):
-    def kernel(x1_ref, x2_ref, mask_ref, thr_ref, bits_ref,
+def _fmix(x):
+    """murmur3 32-bit finalizer: bijective avalanche mixer (counter PRNG)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
+                 block_h: int):
+    LAN = block_h // SUB
+
+    def kernel(x1_ref, x2_ref, mask_ref, thr_ref, seed_ref, vmask_ref,
                fout_ref, iout_ref):
         thr_sq = thr_ref[0]  # Sampson bound, already in squared units
-        bits = pltpu.bitcast(bits_ref[...], jnp.uint32)
+        # Counter-based PRNG: flat hypothesis index hashed with 8
+        # pre-mixed per-draw seeds.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
+        flat = pl.program_id(0) * block_h + sub * LAN + lane
+        flatu = pltpu.bitcast(flat, jnp.uint32)
+        bits = [_fmix(flatu ^ seed_ref[j]) for j in range(8)]
 
         # 8-subset Fisher-Yates.
         idx = []
@@ -55,16 +82,23 @@ def _make_kernel(n_points: int, n_score: int):
                 r = r + (r >= sv).astype(jnp.int32)
             idx.append(r)
 
-        def gather(ref, col, ind):
-            acc = jnp.zeros((SUB, LAN), jnp.float32)
-            for nn in range(n_points):
-                acc = acc + jnp.where(ind == nn, ref[nn, col], 0.0)
-            return acc
+        # Masked-out points poison any hypothesis that sampled them.
+        vmask = vmask_ref[0]
+        ok_bits = vmask >> idx[0]
+        for j in range(1, 8):
+            ok_bits = ok_bits & (vmask >> idx[j])
+        sample_valid = (ok_bits & 1) == 1
 
-        u1 = [gather(x1_ref, 0, i) for i in idx]
-        v1 = [gather(x1_ref, 1, i) for i in idx]
-        u2 = [gather(x2_ref, 0, i) for i in idx]
-        v2 = [gather(x2_ref, 1, i) for i in idx]
+        # Gather the sampled coordinates via the log2 selection tree.
+        cols = [[x1_ref[nn, 0] for nn in range(n_points)],
+                [x1_ref[nn, 1] for nn in range(n_points)],
+                [x2_ref[nn, 0] for nn in range(n_points)],
+                [x2_ref[nn, 1] for nn in range(n_points)]]
+        g = [tree_gather_many(i, cols, n_points) for i in idx]
+        u1 = [g[j][0] for j in range(8)]
+        v1 = [g[j][1] for j in range(8)]
+        u2 = [g[j][2] for j in range(8)]
+        v2 = [g[j][3] for j in range(8)]
 
         def hartley8(xs, ys):
             mx = sum(xs) / 8.0
@@ -86,7 +120,7 @@ def _make_kernel(n_points: int, n_score: int):
             a, b, c, d = u1n[j], v1n[j], u2n[j], v2n[j]
             aug.append([c * a, c * b, c, d * a, d * b, d, a, b, -one])
 
-        valid = jnp.ones((SUB, LAN), jnp.bool_)
+        valid = sample_valid
         # Full partial pivoting (no structural zeros in this system).
         for k in range(8):
             for i in range(k + 1, 8):
@@ -149,47 +183,114 @@ def _make_kernel(n_points: int, n_score: int):
             count = count + jnp.where(e <= thr_sq, wp, 0.0)
             msac = msac + jnp.minimum(e, thr_sq) * wp
 
-        msac = jnp.where(valid, msac, jnp.float32(3.4e38))
+        big = jnp.float32(3.4e38)
+        msac = jnp.where(valid, msac, big)
+        count = jnp.where(valid, count, -1.0)
         # 8 x 4-bit indices fill the int32 exactly (idx[7] uses the sign
         # bits; unpack_sample8 masks them back out).
         packed = idx[0]
         for j in range(1, 8):
             packed = packed | (idx[j] << (4 * j))
-        fout_ref[0] = msac
-        fout_ref[1] = count
-        iout_ref[0] = packed
+
+        if not reduce_block:
+            fout_ref[0] = msac
+            fout_ref[1] = count
+            iout_ref[0] = packed
+            return
+
+        # Sublane reduction: one record per LANE per selection rule
+        # (min-MSAC and lexicographic max-count).  Packed indices can use
+        # the sign bit, so tie-breaks compare an unsigned-shifted copy.
+        pcmp = packed ^ jnp.int32(-2 ** 31)  # order-preserving for uint cmp
+        msac_m = jnp.min(msac, axis=0, keepdims=True)
+        selm = msac == msac_m
+        pcmp_m = jnp.min(jnp.where(selm, pcmp, jnp.int32(2 ** 31 - 1)),
+                         axis=0, keepdims=True)
+        packed_m = pcmp_m ^ jnp.int32(-2 ** 31)
+        count_m = jnp.max(jnp.where(selm & (pcmp == pcmp_m), count, -2.0),
+                          axis=0, keepdims=True)
+        count_c = jnp.max(count, axis=0, keepdims=True)
+        selc = count == count_c
+        msac_c = jnp.min(jnp.where(selc, msac, big), axis=0, keepdims=True)
+        pcmp_c = jnp.min(jnp.where(selc & (msac == msac_c), pcmp,
+                                   jnp.int32(2 ** 31 - 1)),
+                         axis=0, keepdims=True)
+        packed_c = pcmp_c ^ jnp.int32(-2 ** 31)
+        fout_ref[...] = jnp.concatenate(
+            [msac_m, count_m, msac_c, count_c], axis=0)
+        iout_ref[...] = jnp.concatenate([packed_m, packed_c], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_hyp", "n_points", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "n_points", "interpret", "full_records",
+                     "block_h"))
 def essential_ransac_sweep(
     seed, x1: jnp.ndarray, x2: jnp.ndarray, point_mask: jnp.ndarray,
     threshold_sq, n_hyp: int, n_points: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, full_records: bool = False,
+    block_h: int | None = None,
 ):
     """Fused 8-point sweep on normalized coords.
 
     ``threshold_sq`` is the Sampson bound in squared normalized units
-    ((px_threshold / focal)^2).  Returns per-hypothesis (msac [H],
-    counts [H], packed_idx [H]); unpack the winner with ``unpack_sample8``.
+    ((px_threshold / focal)^2).
+
+    Default (``full_records=False``): sublane-reduced records
+    ``(msac [2, B], counts [2, B], packed [2, B])`` with B = n_hyp / 8 —
+    row 0 selects by min MSAC, row 1 by lexicographic (max count, min
+    MSAC).  Samples touching ``point_mask == 0`` points are invalidated
+    in-kernel.  ``full_records=True``: per-hypothesis ``(msac [H], counts
+    [H], packed [H])``.  Unpack winners with ``unpack_sample8``.
     """
     n = x1.shape[0]
     if n_points is None:
         n_points = n
     assert n <= MAX_POINTS
-    n_blocks = max(n_hyp // BLOCK_H, 1)
+    if block_h is None:
+        block_h = min(BLOCK_H, max(SUB, (n_hyp // SUB) * SUB))
+    assert block_h % SUB == 0
+    LAN = block_h // SUB
+    n_blocks = max(n_hyp // block_h, 1)
 
     x1_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(x1)
     x2_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(x2)
     mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
         point_mask.astype(jnp.float32))
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
-    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
-    bits = jax.random.bits(key, (8, SUB, n_blocks * LAN), jnp.uint32)
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    seeds = _fmix(seed_u + jnp.arange(1, 9, dtype=jnp.uint32)
+                  * jnp.uint32(0x9E3779B9))
+    vmask = jnp.sum(
+        jnp.where(mask_p > 0, jnp.int32(1) << jnp.arange(MAX_POINTS), 0)
+    ).reshape(1).astype(jnp.int32)
 
-    kernel = _make_kernel(n_points, n)
+    kernel = _make_kernel(n_points, n, reduce_block=not full_records,
+                          block_h=block_h)
+    if full_records:
+        out_specs = (
+            pl.BlockSpec((2, SUB, LAN), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((2, SUB, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((4, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
+        )
     fout, iout = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -198,25 +299,19 @@ def essential_ransac_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sample bitmask
         ],
-        out_specs=(
-            pl.BlockSpec((2, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((2, SUB, n_blocks * LAN), jnp.float32),
-            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_hyp * (2300 + 25 * n), transcendentals=n_hyp * 4,
-            bytes_accessed=n_hyp * 44),
-    )(x1_p, x2_p, mask_p, thr, bits)
-    return fout[0].reshape(-1), fout[1].reshape(-1), iout[0].reshape(-1)
+            bytes_accessed=n_blocks * 24),
+    )(x1_p, x2_p, mask_p, thr, seeds, vmask)
+    if full_records:
+        return fout[0].reshape(-1), fout[1].reshape(-1), iout[0].reshape(-1)
+    return (fout[jnp.array([0, 2])], fout[jnp.array([1, 3])], iout)
 
 
 def unpack_sample8(packed: int) -> np.ndarray:

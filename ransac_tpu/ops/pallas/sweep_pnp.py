@@ -1,14 +1,22 @@
 """Fully-fused P3P-RANSAC sweep kernel.
 
 Same design as ``sweep.py`` (the homography sweep) applied to pose
-hypotheses: each lane draws a 3-point minimal sample, solves Grunert's P3P
-in registers — law-of-cosines ratios, resultant quartic solved by the same
-closed-form trigonometric-cubic + Ferrari construction as
-``ops.linalg.solve_quartic_real``, Newton depth polish against the exact
-constraint system via an unrolled 3x3 solve, exact triangle-frame (triad)
-absolute orientation — and scores all correspondences for each of the four
-candidate roots.  Output is per-(hypothesis, root) MSAC/count plus the
-packed sample, 12 B/record of HBM traffic.
+hypotheses: each lane derives its 3-point minimal sample from an in-kernel
+counter-based PRNG (murmur3-finalizer hash of the flat hypothesis index —
+no random tensor ever crosses HBM), gathers the sample from scalar memory
+via the shared log2 selection tree, solves Grunert's P3P in registers —
+law-of-cosines ratios, resultant quartic solved by Newton-from-Cauchy-bound
+resolvent cubic + Ferrari (Mosaic has no acos), Newton depth polish against
+the exact constraint system via an unrolled 3x3 solve, exact triangle-frame
+(triad) absolute orientation — scores all correspondences for each of the
+four candidate roots, and reduces each block to TWO best records (min-MSAC
+and lexicographic max-count, each with the winning root id packed in) —
+~24 B of HBM traffic per BLOCK_H=4096 sampled hypotheses.
+
+Hypotheses whose minimal sample touches a masked-out point are invalidated
+in-kernel (one variable-shift bit test per draw against the caller's
+validity bitmask), so cross-block selection over the reduced records is
+exact.
 
 This is the BASELINE.json north-star kernel: "massively-parallel RANSAC
 where thousands of minimal-sample hypotheses (P3P/EPnP) are fit and
@@ -27,11 +35,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_H = 1024
+from ransac_tpu.ops.pallas.gather import tree_gather_many
+
+BLOCK_H = 4096
 SUB = 8
-LAN = BLOCK_H // SUB
 MAX_POINTS = 16
 N_ROOTS = 4
+
+
+def _fmix(x):
+    """murmur3 32-bit finalizer: bijective avalanche mixer (counter PRNG)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
 
 
 def _solve_quartic_vec(b, c, d, e):
@@ -89,11 +108,20 @@ def _solve_quartic_vec(b, c, d, e):
     return roots, ok
 
 
-def _make_kernel(n_points: int, n_score: int):
-    def kernel(X_ref, f_ref, pix_ref, mask_ref, thr_ref, bits_ref,
-               fout_ref, iout_ref):
+def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
+                 block_h: int):
+    LAN = block_h // SUB
+
+    def kernel(X_ref, f_ref, pix_ref, mask_ref, thr_ref, seed_ref,
+               vmask_ref, fout_ref, iout_ref):
         thr_sq = thr_ref[0]
-        bits = pltpu.bitcast(bits_ref[...], jnp.uint32)
+        # Counter-based PRNG: flat hypothesis index hashed with 3
+        # pre-mixed per-draw seeds.  No random bits cross HBM.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
+        flat = pl.program_id(0) * block_h + sub * LAN + lane
+        flatu = pltpu.bitcast(flat, jnp.uint32)
+        bits = [_fmix(flatu ^ seed_ref[j]) for j in range(3)]
 
         # 3-subset Fisher-Yates.
         idx = []
@@ -114,15 +142,23 @@ def _make_kernel(n_points: int, n_score: int):
                 r = r + (r >= sv).astype(jnp.int32)
             idx.append(r)
 
-        def gather(ref, col, ind):
-            acc = jnp.zeros((SUB, LAN), jnp.float32)
-            for nn in range(n_points):
-                acc = acc + jnp.where(ind == nn, ref[nn, col], 0.0)
-            return acc
+        # Masked-out points poison any hypothesis that sampled them
+        # (engine sample_ok semantics).
+        vmask = vmask_ref[0]
+        ok_bits = (vmask >> idx[0]) & (vmask >> idx[1]) & (vmask >> idx[2])
+        sample_valid = (ok_bits & 1) == 1
 
-        # World points and unit bearings of the sample.
-        P = [[gather(X_ref, c, idx[j]) for c in range(3)] for j in range(3)]
-        F = [[gather(f_ref, c, idx[j]) for c in range(3)] for j in range(3)]
+        # World points and unit bearings of the sample via the log2
+        # selection tree (shared index bit masks).
+        cols = [[X_ref[n, 0] for n in range(n_points)],
+                [X_ref[n, 1] for n in range(n_points)],
+                [X_ref[n, 2] for n in range(n_points)],
+                [f_ref[n, 0] for n in range(n_points)],
+                [f_ref[n, 1] for n in range(n_points)],
+                [f_ref[n, 2] for n in range(n_points)]]
+        g = [tree_gather_many(i, cols, n_points) for i in idx]
+        P = [[g[j][c] for c in range(3)] for j in range(3)]
+        F = [[g[j][3 + c] for c in range(3)] for j in range(3)]
 
         def dot3(a, b):
             return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -164,6 +200,15 @@ def _make_kernel(n_points: int, n_score: int):
 
         packed = idx[0] + idx[1] * 16 + idx[2] * 256
 
+        # Running best across the 4 roots under both selection rules.
+        big = jnp.float32(3.4e38)
+        bestA_msac = jnp.full((SUB, LAN), big)
+        bestA_count = jnp.full((SUB, LAN), -1.0)
+        bestA_root = jnp.zeros((SUB, LAN), jnp.int32)
+        bestB_msac = jnp.full((SUB, LAN), big)
+        bestB_count = jnp.full((SUB, LAN), -1.0)
+        bestB_root = jnp.zeros((SUB, LAN), jnp.int32)
+
         for k in range(N_ROOTS):
             v = roots[k]
             D = d1 * v + d0
@@ -173,7 +218,7 @@ def _make_kernel(n_points: int, n_score: int):
                 1.0 + v * v - 2.0 * v * cos_b, 1e-12))
             s2 = u * s1
             s3 = v * s1
-            valid = (root_ok[k] & (v > 1e-6) & (u > 1e-6)
+            valid = (sample_valid & root_ok[k] & (v > 1e-6) & (u > 1e-6)
                      & (jnp.abs(D) > 1e-9))
 
             # Newton polish of depths on the law-of-cosines system
@@ -182,8 +227,6 @@ def _make_kernel(n_points: int, n_score: int):
                 r1 = s2 * s2 + s3 * s3 - 2 * s2 * s3 * cos_a - a2
                 r2 = s1 * s1 + s3 * s3 - 2 * s1 * s3 * cos_b - b2
                 r3 = s1 * s1 + s2 * s2 - 2 * s1 * s2 * cos_g - c2
-                # J rows: [0, j12, j13; j21, 0, j23; j31, j32, 0] with
-                # diagonal-ish structure (see ops.pnp).
                 j12 = 2 * s2 - 2 * s3 * cos_a
                 j13 = 2 * s3 - 2 * s2 * cos_a
                 j21 = 2 * s1 - 2 * s3 * cos_b
@@ -191,16 +234,14 @@ def _make_kernel(n_points: int, n_score: int):
                 j31 = 2 * s1 - 2 * s2 * cos_g
                 j32 = 2 * s2 - 2 * s1 * cos_g
                 # Solve J ds = -r, J = [[0,j12,j13],[j21,0,j23],[j31,j32,0]]
-                det = (0.0 * (0.0 - j23 * j32) - j12 * (j21 * 0.0 - j23 * j31)
-                       + j13 * (j21 * j32 - 0.0))
+                det = (- j12 * (0.0 - j23 * j31) + j13 * (j21 * j32 - 0.0))
                 det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
-                # Adjugate columns for rhs -r.
                 b1, b2r, b3 = -r1, -r2, -r3
                 ds1 = (b1 * (0.0 - j23 * j32) - j12 * (b2r * 0.0 - j23 * b3)
                        + j13 * (b2r * j32 - 0.0 * b3)) / det
-                ds2 = (0.0 * (b2r * 0.0 - j23 * b3) - b1 * (j21 * 0.0 - j23 * j31)
+                ds2 = (0.0 - b1 * (j21 * 0.0 - j23 * j31)
                        + j13 * (j21 * b3 - b2r * j31)) / det
-                ds3 = (0.0 * (0.0 * b3 - b2r * j32) - j12 * (j21 * b3 - b2r * j31)
+                ds3 = (0.0 - j12 * (j21 * b3 - b2r * j31)
                        + b1 * (j21 * j32 - 0.0)) / det
                 lim1 = 0.1 * jnp.abs(s1) + 1e-6
                 s1 = s1 + jnp.clip(ds1, -lim1, lim1)
@@ -241,7 +282,7 @@ def _make_kernel(n_points: int, n_score: int):
             # Score all points in normalized coords.
             count = jnp.zeros((SUB, LAN), jnp.float32)
             msac = jnp.zeros((SUB, LAN), jnp.float32)
-            big = jnp.float32(1e12)
+            far = jnp.float32(1e12)
             for nn in range(n_score):
                 Xx = X_ref[nn, 0]
                 Xy = X_ref[nn, 1]
@@ -257,36 +298,91 @@ def _make_kernel(n_points: int, n_score: int):
                 du = xc * inv_z - px
                 dv = yc * inv_z - py
                 e2_ = du * du + dv * dv
-                e2_ = jnp.where(behind, big, e2_)
+                e2_ = jnp.where(behind, far, e2_)
                 count = count + jnp.where(e2_ <= thr_sq, wp, 0.0)
                 msac = msac + jnp.minimum(e2_, thr_sq) * wp
 
-            msac = jnp.where(valid, msac, jnp.float32(3.4e38))
-            fout_ref[2 * k] = msac
-            fout_ref[2 * k + 1] = count
-        iout_ref[0] = packed
+            msac = jnp.where(valid, msac, big)
+            count = jnp.where(valid, count, -1.0)
+
+            if not reduce_block:
+                fout_ref[2 * k] = msac
+                fout_ref[2 * k + 1] = count
+                continue
+
+            updA = msac < bestA_msac
+            bestA_count = jnp.where(updA, count, bestA_count)
+            bestA_root = jnp.where(updA, k, bestA_root)
+            bestA_msac = jnp.minimum(msac, bestA_msac)
+            updB = (count > bestB_count) | ((count == bestB_count)
+                                            & (msac < bestB_msac))
+            bestB_count = jnp.where(updB, count, bestB_count)
+            bestB_msac = jnp.where(updB, msac, bestB_msac)
+            bestB_root = jnp.where(updB, k, bestB_root)
+
+        if not reduce_block:
+            iout_ref[0] = packed
+            return
+
+        # Sublane reduction: one record per LANE per selection rule
+        # (min-MSAC and lexicographic max-count), ties broken by smallest
+        # packed index; the winning root id rides in packed bits 12-13.
+        packedA = packed + bestA_root * 4096
+        packedB = packed + bestB_root * 4096
+        msac_m = jnp.min(bestA_msac, axis=0, keepdims=True)
+        selm = bestA_msac == msac_m
+        packed_m = jnp.min(jnp.where(selm, packedA, 2 ** 30),
+                           axis=0, keepdims=True)
+        count_m = jnp.max(jnp.where(selm & (packedA == packed_m),
+                                    bestA_count, -2.0),
+                          axis=0, keepdims=True)
+        count_c = jnp.max(bestB_count, axis=0, keepdims=True)
+        selc = bestB_count == count_c
+        msac_c = jnp.min(jnp.where(selc, bestB_msac, big),
+                         axis=0, keepdims=True)
+        packed_c = jnp.min(jnp.where(selc & (bestB_msac == msac_c),
+                                     packedB, 2 ** 30),
+                           axis=0, keepdims=True)
+        fout_ref[...] = jnp.concatenate(
+            [msac_m, count_m, msac_c, count_c], axis=0)
+        iout_ref[...] = jnp.concatenate([packed_m, packed_c], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_hyp", "n_points", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "n_points", "interpret", "full_records",
+                     "block_h"))
 def pnp_ransac_sweep(
     seed, Xw: jnp.ndarray, pix_n: jnp.ndarray, point_mask: jnp.ndarray,
     threshold_n, n_hyp: int, n_points: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, full_records: bool = False,
+    block_h: int | None = None,
 ):
     """Fused P3P sweep on normalized coords.
 
-    Returns (msac [H*4], counts [H*4], packed_idx [H*4]) — 4 root-slots per
-    sampled hypothesis, flattened root-major; ``threshold_n`` is in
-    normalized units (pixel_threshold / focal).
+    Default (``full_records=False``): sublane-reduced records
+    ``(msac [2, B], counts [2, B], packed [2, B])`` with B = n_hyp / 8 —
+    row 0 selects by min MSAC, row 1 by lexicographic (max count, min
+    MSAC); each record is the best across the hypothesis's four P3P roots,
+    whose id sits in packed bits 12-13 (``unpack_sample3`` ignores it).
+    Samples touching ``point_mask == 0`` points are invalidated in-kernel.
+
+    ``full_records=True``: per-(hypothesis, root) ``(msac [4H], counts
+    [4H], packed [4H])`` flattened root-major — for tests/inspection.
+
+    ``threshold_n`` is in normalized units (pixel_threshold / focal).
     """
     n = Xw.shape[0]
     if n_points is None:
         n_points = n
     assert n <= MAX_POINTS
-    n_blocks = max(n_hyp // BLOCK_H, 1)
+    if block_h is None:
+        block_h = min(BLOCK_H, max(SUB, (n_hyp // SUB) * SUB))
+    assert block_h % SUB == 0
+    LAN = block_h // SUB
+    n_blocks = max(n_hyp // block_h, 1)
 
     ones = jnp.ones_like(pix_n[..., :1])
     f = jnp.concatenate([pix_n, ones], -1)
@@ -298,10 +394,38 @@ def pnp_ransac_sweep(
     mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
         point_mask.astype(jnp.float32))
     thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
-    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
-    bits = jax.random.bits(key, (3, SUB, n_blocks * LAN), jnp.uint32)
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    seeds = _fmix(seed_u + jnp.arange(1, 4, dtype=jnp.uint32)
+                  * jnp.uint32(0x9E3779B9))
+    vmask = jnp.sum(
+        jnp.where(mask_p > 0, jnp.int32(1) << jnp.arange(MAX_POINTS), 0)
+    ).reshape(1).astype(jnp.int32)
 
-    kernel = _make_kernel(n_points, n)
+    kernel = _make_kernel(n_points, n, reduce_block=not full_records,
+                          block_h=block_h)
+    if full_records:
+        out_specs = (
+            pl.BlockSpec((2 * N_ROOTS, SUB, LAN), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((2 * N_ROOTS, SUB, n_blocks * LAN),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((4, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
+        )
     fout, iout = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -311,29 +435,22 @@ def pnp_ransac_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pix_n
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
-            pl.BlockSpec((3, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),  # bits
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sample bitmask
         ],
-        out_specs=(
-            pl.BlockSpec((2 * N_ROOTS, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LAN), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((2 * N_ROOTS, SUB, n_blocks * LAN),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((1, SUB, n_blocks * LAN), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_hyp * (2500 + 4 * 25 * n), transcendentals=n_hyp * 20,
-            bytes_accessed=n_hyp * 48),
-    )(X_p, f_p, pix_p, mask_p, thr, bits)
-    msac = fout[0::2].reshape(N_ROOTS, -1).reshape(-1)  # root-major [4H]
-    counts = fout[1::2].reshape(N_ROOTS, -1).reshape(-1)
-    packed = jnp.tile(iout[0].reshape(-1), (N_ROOTS,))
-    return msac, counts, packed
+            bytes_accessed=n_blocks * 24),
+    )(X_p, f_p, pix_p, mask_p, thr, seeds, vmask)
+    if full_records:
+        msac = fout[0::2].reshape(N_ROOTS, -1).reshape(-1)
+        counts = fout[1::2].reshape(N_ROOTS, -1).reshape(-1)
+        packed = jnp.tile(iout[0].reshape(-1), (N_ROOTS,))
+        return msac, counts, packed
+    return (fout[jnp.array([0, 2])], fout[jnp.array([1, 3])], iout)
 
 
 def unpack_sample3(packed: int) -> np.ndarray:

@@ -97,9 +97,9 @@ def test_scaling_harness():
 def test_pnp_sweep_finds_consensus():
     from ransac_tpu.ops import pnp as pnp_mod
     from ransac_tpu.ops import projection as proj
-    from ransac_tpu.ops.pallas.sweep_pnp import (BLOCK_H as PNP_BLOCK,
-                                                 pnp_ransac_sweep,
+    from ransac_tpu.ops.pallas.sweep_pnp import (pnp_ransac_sweep,
                                                  unpack_sample3)
+    PNP_BLOCK = 1024  # small block: interpret-mode cost scales with it
     from ransac_tpu.ops.rotation import exp_so3
 
     rng = np.random.default_rng(5)
@@ -118,7 +118,7 @@ def test_pnp_sweep_finds_consensus():
 
     msac, counts, packed = pnp_ransac_sweep(
         3, jnp.asarray(X, jnp.float32), jnp.asarray(pixn), jnp.ones(n),
-        30.0 / 900.0, n_hyp=PNP_BLOCK, interpret=True)
+        30.0 / 900.0, n_hyp=PNP_BLOCK, interpret=True, full_records=True)
     msac, counts, packed = (np.asarray(v) for v in (msac, counts, packed))
     b = int(np.argmin(msac))
     assert counts[b] >= 10
@@ -137,6 +137,52 @@ def test_pnp_sweep_finds_consensus():
         e = np.linalg.norm(np.asarray(pp) - pix, axis=1)
         best = max(best, int(((e <= 30) & (np.asarray(z) > 0)).sum()))
     assert best >= 10
+
+
+def test_pnp_sweep_reduced_records_match_full():
+    """The two-row block reduction selects the same winner (under both
+    rules) as an argmin/lex-max over the per-(hypothesis, root) records,
+    and masked-sample hypotheses are invalidated in-kernel."""
+    from ransac_tpu.ops import projection as proj
+    from ransac_tpu.ops.pallas.sweep_pnp import pnp_ransac_sweep
+    PNP_BLOCK = 1024  # small block: interpret-mode cost scales with it
+    from ransac_tpu.ops.rotation import exp_so3
+
+    rng = np.random.default_rng(12)
+    R_true = np.asarray(exp_so3(jnp.asarray(np.array([0.1, 0.2, -0.07]))))
+    t_true = np.array([0.1, 0.3, 5.0])
+    n = 12
+    X = rng.uniform(-2, 2, (n, 3)) * np.array([1, 1, 0.5])
+    K = np.array([[800.0, 0, 400], [0, 800.0, 300], [0, 0, 1]])
+    pix, _ = proj.project_points(
+        jnp.asarray(X), jnp.asarray(R_true), jnp.asarray(t_true),
+        jnp.asarray(K))
+    pixn = np.asarray(proj.normalize_pixels(
+        jnp.asarray(np.array(pix), jnp.float32), jnp.asarray(K, jnp.float32)))
+    mask = np.ones(n, np.float32)
+    mask[4] = 0.0  # a masked point: no winner may sample it
+    args = (jnp.asarray(X, jnp.float32), jnp.asarray(pixn),
+            jnp.asarray(mask), 20.0 / 800.0)
+
+    mf, cf, pf = (np.asarray(v) for v in pnp_ransac_sweep(
+        9, *args, n_hyp=PNP_BLOCK, interpret=True, full_records=True))
+    mr, cr, pr = (np.asarray(v) for v in pnp_ransac_sweep(
+        9, *args, n_hyp=PNP_BLOCK, interpret=True))
+    assert mr.shape == (2, PNP_BLOCK // 8)
+
+    # Row 0: min-MSAC winners agree.
+    assert np.isclose(mr[0].min(), mf.min(), rtol=1e-5)
+    # Row 1: lexicographic (max count, min msac) winners agree.
+    cmax = cf.max()
+    assert cr[1].max() == cmax
+    m_at = mf[cf == cmax].min()
+    sel = (cr[1] == cmax)
+    assert np.isclose(mr[1][sel].min(), m_at, rtol=1e-5)
+    # In-kernel mask invalidation: no reduced winner sampled point 4.
+    for row in range(2):
+        b = int(np.argmin(mr[row]))
+        s = [pr[row][b] & 15, (pr[row][b] >> 4) & 15, (pr[row][b] >> 8) & 15]
+        assert 4 not in s
 
 
 def test_pnp_sweep_engine_wrapper():
@@ -170,7 +216,8 @@ def test_pnp_sweep_engine_wrapper():
 def test_essential_sweep_finds_consensus():
     from ransac_tpu.ops import epipolar
     from ransac_tpu.ops.pallas.sweep_essential import (
-        BLOCK_H as E_BLOCK, essential_ransac_sweep, unpack_sample8)
+        essential_ransac_sweep, unpack_sample8)
+    E_BLOCK = 512  # small block: interpret-mode cost scales with it
     from ransac_tpu.ops.rotation import exp_so3
 
     rng = np.random.default_rng(3)
@@ -188,16 +235,34 @@ def test_essential_sweep_finds_consensus():
 
     msac, counts, packed = essential_ransac_sweep(
         3, jnp.asarray(x1), jnp.asarray(x2), jnp.ones(n), thr,
-        n_hyp=2 * E_BLOCK, interpret=True)
+        n_hyp=2 * E_BLOCK, interpret=True, full_records=True,
+        block_h=E_BLOCK)
     msac, counts, packed = (np.asarray(v) for v in (msac, counts, packed))
     b = int(np.argmin(msac))
     assert counts[b] >= 12
     s = unpack_sample8(packed[b])
     assert len(set(s.tolist())) == 8
     assert all(i < 12 for i in s)  # winning sample is outlier-free
-    # Host re-solve (SVD + rank-2 + essential averaging after
-    # denormalization) reproduces the consensus.
-    E = epipolar.eight_point(jnp.asarray(x1[s]), jnp.asarray(x2[s]),
+    # Engine semantics: the winner's consensus set comes from the
+    # unconstrained minimal solve (what the kernel scored), then the refit
+    # on that set is essential-projected (an essential projection of a
+    # minimal exactly-fit F can distort it; the engine never scores that).
+    x1h = np.concatenate([x1, np.ones((n, 1), np.float32)], 1)
+    x2h = np.concatenate([x2, np.ones((n, 1), np.float32)], 1)
+    A = np.stack([x2h[s, 0] * x1h[s, 0], x2h[s, 0] * x1h[s, 1], x2h[s, 0],
+                  x2h[s, 1] * x1h[s, 0], x2h[s, 1] * x1h[s, 1], x2h[s, 1],
+                  x1h[s, 0], x1h[s, 1]], 1)
+    Fm = np.append(np.linalg.solve(A.astype(np.float64), -np.ones(8)),
+                   1.0).reshape(3, 3)
+    Fx1 = x1h @ Fm.T
+    Ftx2 = x2h @ Fm
+    d_min = ((x2h * Fx1).sum(1) ** 2
+             / (Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2
+                + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2))
+    inl = d_min <= thr
+    assert inl.sum() >= 12
+    E = epipolar.eight_point(jnp.asarray(x1), jnp.asarray(x2),
+                             jnp.asarray(inl.astype(np.float32)),
                              essential=True)
     d = np.asarray(epipolar.sampson_distance(
         E, jnp.asarray(x1), jnp.asarray(x2)))
