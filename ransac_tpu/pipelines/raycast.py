@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ransac_tpu.io.dem import DemUtm, bilinear_sample
+from ransac_tpu.io.dem import (DemUtm, bilinear_sample,
+                               bilinear_sample_packed, pack_bilinear)
 from ransac_tpu.ops import projection as proj
 from ransac_tpu.ops.lm import fit_ray_scales
 from ransac_tpu.utils.config import RaycastConfig
@@ -87,9 +88,11 @@ def march_rays(
     directions: jnp.ndarray,   # [R,3] unit
     dem_data: jnp.ndarray, x0, y0, dx, dy,
     max_steps: int, step: float = 1.0, min_hit_step: int = 150,
-    chunk: int = 64,
+    chunk: int = 64, dem_pack: jnp.ndarray | None = None,
 ):
     """Lockstep batched ray march.  Returns (hits [R,3], hit_mask [R]).
+    ``dem_pack`` (from :func:`ransac_tpu.io.dem.pack_bilinear`) routes DEM
+    sampling through one-row-gather quad-packed bilinear (4.3x on v5e).
 
     Termination per ray: z <= DEM(x, y) after >= min_hit_step steps (the
     reference warmup quirk, main_v1.py:650), or leaving the DEM footprint,
@@ -102,8 +105,15 @@ def march_rays(
     Early-exits when every ray is done.
     """
     n = origins.shape[0]
-    xmax = x0 + dx * (dem_data.shape[1] - 1)
-    ymax = y0 + dy * (dem_data.shape[0] - 1)
+    h, w = dem_data.shape
+    xmax = x0 + dx * (w - 1)
+    ymax = y0 + dy * (h - 1)
+    if dem_pack is None:
+        _sample = lambda xs, ys: bilinear_sample(  # noqa: E731
+            dem_data, x0, y0, dx, dy, xs, ys)
+    else:
+        _sample = lambda xs, ys: bilinear_sample_packed(  # noqa: E731
+            dem_pack, h, w, x0, y0, dx, dy, xs, ys)
     ks = jnp.arange(chunk, dtype=origins.dtype)        # relative step ids
 
     def cond(state):
@@ -115,8 +125,7 @@ def march_rays(
         # Candidate positions for global steps i..i+chunk-1 (active rays
         # carry pos == origin + i*step*dir, so P[:, k] is step i+k).
         P = pos[:, None, :] + (step * ks)[None, :, None] * directions[:, None, :]
-        z_dem = bilinear_sample(
-            dem_data, x0, y0, dx, dy,
+        z_dem = _sample(
             P[..., 0].reshape(-1), P[..., 1].reshape(-1)).reshape(n, chunk)
         inside = ((P[..., 0] >= x0) & (P[..., 0] <= xmax)
                   & (P[..., 1] >= y0) & (P[..., 1] <= ymax))
@@ -153,6 +162,7 @@ def march_rays_mip(
     dem_data: jnp.ndarray, x0, y0, dx, dy,
     max_steps: int, step: float = 1.0, min_hit_step: int = 150,
     pool: int = 8, seg_steps: int = 32, lookahead: int = 32,
+    dem_pack: jnp.ndarray | None = None,
 ):
     """Coarse-to-fine (max-mipmap) batched ray march — same semantics as
     :func:`march_rays`, far fewer DEM samples.
@@ -177,6 +187,12 @@ def march_rays_mip(
     h, w = dem_data.shape
     xmax = x0 + dx * (w - 1)
     ymax = y0 + dy * (h - 1)
+    if dem_pack is None:
+        _sample = lambda xs, ys: bilinear_sample(  # noqa: E731
+            dem_data, x0, y0, dx, dy, xs, ys)
+    else:
+        _sample = lambda xs, ys: bilinear_sample_packed(  # noqa: E731
+            dem_pack, h, w, x0, y0, dx, dy, xs, ys)
 
     # Pooled-max mip, padded with -inf, 3x3-dilated.
     hb = -(-h // pool)
@@ -241,9 +257,8 @@ def march_rays_mip(
         px = ox[:, None] + t * dxr[:, None]
         py = oy[:, None] + t * dyr[:, None]
         pz = oz[:, None] + t * dzr[:, None]
-        z_dem = bilinear_sample(dem_data, x0, y0, dx, dy,
-                                px.reshape(-1), py.reshape(-1)).reshape(
-                                    n, seg_steps)
+        z_dem = _sample(px.reshape(-1), py.reshape(-1)).reshape(
+            n, seg_steps)
         inside = (px >= x0) & (px <= xmax) & (py >= y0) & (py <= ymax)
         in_budget = g < max_steps
         hit_k = ((g >= min_hit_step) & (pz <= z_dem) & inside & in_budget)
@@ -288,6 +303,9 @@ class GeoInverter:
     cfg: RaycastConfig = RaycastConfig()
 
     def __post_init__(self):
+        # One-time quad-pack of the DEM for one-gather bilinear in the
+        # march hot loop (4x memory, 4.3x sample rate on v5e).
+        self._dem_pack = pack_bilinear(self.dem.data)
         self._factors, self._valid = compute_optimization_factors(
             jnp.asarray(self.control_pixels, jnp.float32),
             jnp.asarray(self.control_pos3d, jnp.float32),
@@ -342,11 +360,12 @@ class GeoInverter:
             pos, hit = march_rays_mip(
                 origins, rays, *dem_arrs, max_steps=max_steps,
                 step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step,
-                pool=pool, seg_steps=seg_steps)
+                pool=pool, seg_steps=seg_steps, dem_pack=self._dem_pack)
         else:
             pos, hit = march_rays(
                 origins, rays, *dem_arrs, max_steps=max_steps,
-                step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step)
+                step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step,
+                dem_pack=self._dem_pack)
         utm = self.dem.frame.uncenter(np.asarray(pos, np.float64))
         return utm, np.asarray(hit)
 

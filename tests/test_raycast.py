@@ -333,3 +333,55 @@ def test_march_mip_matches_plain():
         assert d.max() < 1.5 * kw["step"], d.max()
         assert np.quantile(d, 0.9) < 2e-2, d
     assert np.asarray(hit_p).any() and not np.asarray(hit_p).all()
+
+
+def test_packed_bilinear_matches_plain():
+    """Quad-packed one-gather bilinear == the 4-gather reference sampler,
+    and both march kernels give identical results through it."""
+    rng = np.random.default_rng(11)
+    for h, w in ((33, 47), (64, 64)):
+        data = rng.standard_normal((h, w)).astype(np.float32) * 10 + 100
+        pack = demio.pack_bilinear(data)
+        x0, y0, dx, dy = -50.0, -40.0, 2.0, 1.5
+        x = jnp.asarray(rng.uniform(-60, x0 + dx * (w - 1) + 10, 500)
+                        .astype(np.float32))
+        y = jnp.asarray(rng.uniform(-50, y0 + dy * (h - 1) + 10, 500)
+                        .astype(np.float32))
+        a = np.asarray(demio.bilinear_sample(
+            jnp.asarray(data), x0, y0, dx, dy, x, y))
+        b = np.asarray(demio.bilinear_sample_packed(
+            pack, h, w, x0, y0, dx, dy, x, y))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-4)
+
+    # March parity on rolling terrain.
+    frame = flat_frame()
+    gh, gw = 96, 96
+    xs = np.linspace(-400, 400, gw)
+    ys = np.linspace(-400, 400, gh)
+    zz = (40 * np.sin(xs[None, :] / 60.0) * np.cos(ys[:, None] / 80.0)
+          + 100).astype(np.float32)
+    dem = demio.DemUtm(data=zz, x0=float(xs[0]), y0=float(ys[0]),
+                       dx=float(xs[1] - xs[0]), dy=float(ys[1] - ys[0]),
+                       frame=frame)
+    pack = demio.pack_bilinear(dem.data)
+    n = 64
+    rng2 = np.random.default_rng(2)
+    origins = np.zeros((n, 3), np.float32)
+    origins[:, 2] = 220.0
+    az = rng2.uniform(0, 2 * np.pi, n)
+    el = rng2.uniform(-0.9, -0.05, n)
+    dirs = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)], 1).astype(np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(dirs), *dem.device_arrays())
+    kw = dict(max_steps=1200, step=1.0, min_hit_step=0)
+    pos_a, hit_a = raycast.march_rays(*args, **kw)
+    pos_b, hit_b = raycast.march_rays(*args, dem_pack=pack, **kw)
+    np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_b))
+    np.testing.assert_allclose(np.asarray(pos_a), np.asarray(pos_b),
+                               atol=1e-3)
+    pos_c, hit_c = raycast.march_rays_mip(*args, pool=8, seg_steps=32, **kw)
+    pos_d, hit_d = raycast.march_rays_mip(*args, pool=8, seg_steps=32,
+                                          dem_pack=pack, **kw)
+    np.testing.assert_array_equal(np.asarray(hit_c), np.asarray(hit_d))
+    np.testing.assert_allclose(np.asarray(pos_c), np.asarray(pos_d),
+                               atol=1e-3)
