@@ -4,15 +4,33 @@ Completes the fused hypothesize-and-verify family (homography ``sweep.py``,
 P3P ``sweep_pnp.py``): each lane derives its 8-point sample from an
 in-kernel counter-based PRNG (murmur3-finalizer hash of the flat
 hypothesis index — no random tensor crosses HBM), gathers the sample from
-scalar memory via the shared log2 selection tree, Hartley-normalizes both
-sides, solves the 8x9 epipolar system with f33=1 by unrolled
-partially-pivoted Gaussian elimination in registers, denormalizes, scores
-every correspondence with the Sampson distance, and reduces each block to
-TWO best records (min-MSAC and lexicographic max-count) — ~24 B of HBM
-traffic per block.  Rank-2 enforcement is intentionally deferred to the
-host refit: for inlier counting the unconstrained F's Sampson distances
-are near-identical, and the winning sample is re-solved exactly by the
-engine's normalized 8-point (SVD + rank projection) afterwards.
+scalar memory via the shared log2 selection tree, solves the 8-point
+system division- and pivot-free (below), scores every correspondence with
+the Sampson distance, and reduces each block to TWO best records (min-MSAC
+and lexicographic max-count) — ~24 B of HBM traffic per block.  Rank-2
+enforcement is intentionally deferred to the host refit: for inlier
+counting the unconstrained F's Sampson distances are near-identical, and
+the winning sample is re-solved exactly by the engine's normalized
+8-point (SVD + rank projection) afterwards.
+
+Solver (canonical-frame generalized cross product): map the first 4
+sampled correspondences of EACH image onto the canonical projective basis
+(e1, e2, e3, (1,1,1)) with the division-free adjugate frame from the
+homography sweep, T = adj([l1*s1 | l2*s2 | l3*s3]).  In the primed frames
+the epipolar constraints of those 4 points force F' = T2^-T F T1^-1 to
+have a ZERO DIAGONAL (points 1-3) and zero entry sum (point 4).  The
+remaining 4 correspondences then give a 4x5 homogeneous system on
+[f13,f21,f23,f31,f32] (after substituting f12 = -sum of the others) whose
+1-D nullspace is the generalized cross product of its rows — five 4x4
+determinants sharing the 2x2 minors of row pairs (Plücker expansion).
+F = T2^T F' T1 recomposes the scoring matrix in input coordinates.  NO
+divide, sqrt, or pivot anywhere, vs per-sample Hartley (16 sqrt) +
+pivoted 8x8 elimination (~900 ops, 16 divides) before; degenerate frames
+(3 collinear among the 4 anchors in either image) and rank-deficient
+systems are invalidated, matching RANSAC's degenerate-sample rejection.
+The caller pre-normalizes both point sets with one shared scale so the
+frame determinants are O(1) in f32; Sampson decisions are unchanged
+(numerator and denominator both rescale, threshold scaled along).
 
 Hypotheses whose minimal sample touches a masked-out point are invalidated
 in-kernel, so cross-block selection over the reduced records is exact.
@@ -100,68 +118,100 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
         u2 = [g[j][2] for j in range(8)]
         v2 = [g[j][3] for j in range(8)]
 
-        def hartley8(xs, ys):
-            mx = sum(xs) / 8.0
-            my = sum(ys) / 8.0
-            md = sum(jnp.sqrt((x - mx) ** 2 + (y - my) ** 2 + 1e-20)
-                     for x, y in zip(xs, ys)) / 8.0
-            s = 1.4142135623730951 / jnp.maximum(md, 1e-12)
-            return ([(x - mx) * s for x in xs], [(y - my) * s for y in ys],
-                    mx, my, s)
+        # Canonical adjugate frames from the first 4 sampled points of
+        # each image (same construction as the homography sweep's solve).
+        def det3(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (rx - px) * (qy - py)
 
-        u1n, v1n, m1x, m1y, s1 = hartley8(u1, v1)
-        u2n, v2n, m2x, m2y, s2 = hartley8(u2, v2)
+        def frame_adj(xs, ys):
+            d0 = det3(xs[0], ys[0], xs[1], ys[1], xs[2], ys[2])
+            l1 = det3(xs[3], ys[3], xs[1], ys[1], xs[2], ys[2])
+            l2 = det3(xs[0], ys[0], xs[3], ys[3], xs[2], ys[2])
+            l3 = det3(xs[0], ys[0], xs[1], ys[1], xs[3], ys[3])
+            A = [[l1 * xs[0], l2 * xs[1], l3 * xs[2]],
+                 [l1 * ys[0], l2 * ys[1], l3 * ys[2]],
+                 [l1, l2, l3]]
+            # adj(A) maps the 4 points onto (e1, e2, e3, (1,1,1)) up to
+            # scale (adj(A) = det(A) A^-1; the scale drops out of F).
+            T = [[A[1][1] * A[2][2] - A[1][2] * A[2][1],
+                  A[0][2] * A[2][1] - A[0][1] * A[2][2],
+                  A[0][1] * A[1][2] - A[0][2] * A[1][1]],
+                 [A[1][2] * A[2][0] - A[1][0] * A[2][2],
+                  A[0][0] * A[2][2] - A[0][2] * A[2][0],
+                  A[0][2] * A[1][0] - A[0][0] * A[1][2]],
+                 [A[1][0] * A[2][1] - A[1][1] * A[2][0],
+                  A[0][1] * A[2][0] - A[0][0] * A[2][1],
+                  A[0][0] * A[1][1] - A[0][1] * A[1][0]]]
+            ok = ((jnp.abs(d0) > 1e-7) & (jnp.abs(l1) > 1e-7)
+                  & (jnp.abs(l2) > 1e-7) & (jnp.abs(l3) > 1e-7))
+            # Frobenius-normalize: T entries are degree-6 polynomials of
+            # the coordinates, and everything downstream is polynomial in
+            # T (the nullspace determinants reach degree ~56 in the raw
+            # coordinates, far outside f32 range unless rescaled here).
+            n2 = sum(T[r][c] * T[r][c] for r in range(3) for c in range(3))
+            inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+            T = [[T[r][c] * inv for c in range(3)] for r in range(3)]
+            return T, ok
 
-        # Epipolar rows with f33 = 1:
-        #   [u2u1, u2v1, u2, v2u1, v2v1, v2, u1, v1] f8 = -1
-        one = jnp.ones((SUB, LAN), jnp.float32)
-        aug = []
-        for j in range(8):
-            a, b, c, d = u1n[j], v1n[j], u2n[j], v2n[j]
-            aug.append([c * a, c * b, c, d * a, d * b, d, a, b, -one])
+        T1, ok1 = frame_adj(u1[:4], v1[:4])
+        T2, ok2 = frame_adj(u2[:4], v2[:4])
+        valid = sample_valid & ok1 & ok2
 
-        valid = sample_valid
-        # Full partial pivoting (no structural zeros in this system).
-        for k in range(8):
-            for i in range(k + 1, 8):
-                swap = jnp.abs(aug[i][k]) > jnp.abs(aug[k][k])
-                for c in range(k, 9):
-                    a_k = aug[k][c]
-                    a_i = aug[i][c]
-                    aug[k][c] = jnp.where(swap, a_i, a_k)
-                    aug[i][c] = jnp.where(swap, a_k, a_i)
-            p = aug[k][k]
-            valid = valid & (jnp.abs(p) > 1e-8)
-            inv_p = 1.0 / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)
-            for i in range(k + 1, 8):
-                f = aug[i][k] * inv_p
-                for c in range(k + 1, 9):
-                    aug[i][c] = aug[i][c] - f * aug[k][c]
-        f8 = [jnp.zeros((SUB, LAN), jnp.float32)] * 8
-        for k in range(7, -1, -1):
-            acc = aug[k][8]
-            for c in range(k + 1, 8):
-                acc = acc - aug[k][c] * f8[c]
-            p = aug[k][k]
-            f8[k] = acc / jnp.where(jnp.abs(p) < 1e-12, 1e-12, p)
-        Fn = f8 + [one]  # row-major f11..f33 in normalized coords
+        # Remaining 4 correspondences in the primed frames give rows
+        #   [s q, s r, t p, t r, u p, u q] on [f12,f13,f21,f23,f31,f32];
+        # substituting f12 = -(f13+f21+f23+f31+f32) (point-4 constraint)
+        # leaves a 4x5 system on [f13,f21,f23,f31,f32].
+        rows = []
+        for j in range(4, 8):
+            p = T1[0][0] * u1[j] + T1[0][1] * v1[j] + T1[0][2]
+            q = T1[1][0] * u1[j] + T1[1][1] * v1[j] + T1[1][2]
+            r = T1[2][0] * u1[j] + T1[2][1] * v1[j] + T1[2][2]
+            s = T2[0][0] * u2[j] + T2[0][1] * v2[j] + T2[0][2]
+            t = T2[1][0] * u2[j] + T2[1][1] * v2[j] + T2[1][2]
+            w = T2[2][0] * u2[j] + T2[2][1] * v2[j] + T2[2][2]
+            c0 = s * q
+            rows.append([s * r - c0, t * p - c0, t * r - c0,
+                         w * p - c0, w * q - c0])
 
-        # Denormalize: F = T2^T Fn T1 with T = [[s,0,-s mx],[0,s,-s my],
-        # [0,0,1]].  T2^T Fn first (T2^T = [[s2,0,0],[0,s2,0],
-        # [-s2 m2x, -s2 m2y, 1]]).
-        G = [
-            s2 * Fn[0], s2 * Fn[1], s2 * Fn[2],
-            s2 * Fn[3], s2 * Fn[4], s2 * Fn[5],
-            -s2 * m2x * Fn[0] - s2 * m2y * Fn[3] + Fn[6],
-            -s2 * m2x * Fn[1] - s2 * m2y * Fn[4] + Fn[7],
-            -s2 * m2x * Fn[2] - s2 * m2y * Fn[5] + Fn[8],
-        ]
-        # G @ T1: columns transform.
-        F = [
-            G[0] * s1, G[1] * s1, -s1 * (G[0] * m1x + G[1] * m1y) + G[2],
-            G[3] * s1, G[4] * s1, -s1 * (G[3] * m1x + G[4] * m1y) + G[5],
-            G[6] * s1, G[7] * s1, -s1 * (G[6] * m1x + G[7] * m1y) + G[8],
-        ]
+        # Nullspace of the 4x5 system: generalized cross product via
+        # Plücker expansion — 2x2 minors of row pairs (0,1) and (2,3),
+        # then each 4x4 determinant is a 6-term bilinear combination.
+        m01 = {}
+        m23 = {}
+        for i in range(5):
+            for j in range(i + 1, 5):
+                m01[i, j] = rows[0][i] * rows[1][j] - rows[0][j] * rows[1][i]
+                m23[i, j] = rows[2][i] * rows[3][j] - rows[2][j] * rows[3][i]
+
+        def det4(c0, c1, c2, c3):
+            return (m01[c0, c1] * m23[c2, c3] - m01[c0, c2] * m23[c1, c3]
+                    + m01[c0, c3] * m23[c1, c2] + m01[c1, c2] * m23[c0, c3]
+                    - m01[c1, c3] * m23[c0, c2] + m01[c2, c3] * m23[c0, c1])
+
+        f13 = det4(1, 2, 3, 4)
+        f21 = -det4(0, 2, 3, 4)
+        f23 = det4(0, 1, 3, 4)
+        f31 = -det4(0, 1, 2, 4)
+        f32 = det4(0, 1, 2, 3)
+        f12 = -(f13 + f21 + f23 + f31 + f32)
+
+        # F = T2^T F' T1 with F' = [[0,f12,f13],[f21,0,f23],[f31,f32,0]].
+        # P = F' T1 first (each F' row has two nonzeros).
+        P = [[f12 * T1[1][c] + f13 * T1[2][c] for c in range(3)],
+             [f21 * T1[0][c] + f23 * T1[2][c] for c in range(3)],
+             [f31 * T1[0][c] + f32 * T1[1][c] for c in range(3)]]
+        F = [T2[0][r] * P[0][c] + T2[1][r] * P[1][c] + T2[2][r] * P[2][c]
+             for r in range(3) for c in range(3)]
+        # Frobenius-normalize F so the Sampson epsilon floor below is
+        # scale-independent (the old f33=1 solve guaranteed |F| >= 1; a
+        # near-zero F would floor every denominator and fake a full
+        # consensus).  A genuinely vanishing nullspace (rank-deficient
+        # 4x5 system: coincident/degenerate remaining points) is
+        # invalidated rather than normalized into noise.
+        fn2 = sum(f * f for f in F)
+        valid = valid & (fn2 > 1e-30)
+        finv = jax.lax.rsqrt(jnp.maximum(fn2, 1e-36))
+        F = [f * finv for f in F]
 
         count = jnp.zeros((SUB, LAN), jnp.float32)
         msac = jnp.zeros((SUB, LAN), jnp.float32)
@@ -255,11 +305,21 @@ def essential_ransac_sweep(
     LAN = block_h // SUB
     n_blocks = max(n_hyp // block_h, 1)
 
-    x1_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(x1)
-    x2_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(x2)
+    # Global normalization with ONE shared scale: per-image centering +
+    # a common isotropic scale keeps Sampson decisions exact (numerator
+    # (x2^T F x1)^2 and denominator gradient norms both pick up s^2 per
+    # factor; thresholding e*s^2 against thr*s^2 is unchanged) while
+    # making the in-kernel frame determinants O(1) for f32.
+    m1 = jnp.sum(x1[:n_points], 0) / n_points
+    m2 = jnp.sum(x2[:n_points], 0) / n_points
+    d = (jnp.sum(jnp.sqrt(jnp.sum((x1[:n_points] - m1) ** 2, -1)))
+         + jnp.sum(jnp.sqrt(jnp.sum((x2[:n_points] - m2) ** 2, -1))))
+    s = 1.4142135623730951 / jnp.maximum(d / (2 * n_points), 1e-12)
+    x1_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set((x1 - m1) * s)
+    x2_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set((x2 - m2) * s)
     mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
         point_mask.astype(jnp.float32))
-    thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
+    thr = (jnp.asarray(threshold_sq, jnp.float32).reshape(1) * s * s)
     seed_u = jnp.asarray(seed, jnp.uint32)
     seeds = _fmix(seed_u + jnp.arange(1, 9, dtype=jnp.uint32)
                   * jnp.uint32(0x9E3779B9))
@@ -306,12 +366,21 @@ def essential_ransac_sweep(
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n_hyp * (2300 + 25 * n), transcendentals=n_hyp * 4,
+            flops=n_hyp * (1400 + 30 * n), transcendentals=0,
             bytes_accessed=n_blocks * 24),
     )(x1_p, x2_p, mask_p, thr, seeds, vmask)
+
+    inv_s2 = 1.0 / (s * s)
+
+    def _rescale(m):
+        return jnp.where(m >= jnp.float32(3e38), jnp.float32(3.4e38),
+                         m * inv_s2)
+
     if full_records:
-        return fout[0].reshape(-1), fout[1].reshape(-1), iout[0].reshape(-1)
-    return (fout[jnp.array([0, 2])], fout[jnp.array([1, 3])], iout)
+        return (_rescale(fout[0].reshape(-1)), fout[1].reshape(-1),
+                iout[0].reshape(-1))
+    return (_rescale(fout[jnp.array([0, 2])]), fout[jnp.array([1, 3])],
+            iout)
 
 
 def unpack_sample8(packed: int) -> np.ndarray:
