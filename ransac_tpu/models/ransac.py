@@ -189,9 +189,16 @@ def ransac_homography_sweep(
     The kernel returns per-hypothesis (MSAC, count, packed sample); the
     winning minimal sample is re-solved exactly here and refit on its
     inliers, giving the same semantics as ``ransac_homography``.
+
+    Pools larger than 16 points route to the large-N counter-replay
+    sweep (``ransac_homography_sweep_large``).
     """
-    from ransac_tpu.ops.pallas.sweep import (BLOCK_H,
+    from ransac_tpu.ops.pallas.sweep import (BLOCK_H, MAX_POINTS,
                                              homography_ransac_sweep)
+
+    if src.shape[0] > MAX_POINTS:
+        return ransac_homography_sweep_large(
+            src, dst, point_mask, cfg, key_or_seed, interpret=interpret)
 
     seed = _as_seed(key_or_seed)
     n_hyp = max(cfg.num_hypotheses, BLOCK_H)
@@ -211,6 +218,55 @@ def ransac_homography_sweep(
     sample = jnp.stack([
         sample_packed & 15, (sample_packed >> 4) & 15,
         (sample_packed >> 8) & 15, (sample_packed >> 12) & 15])
+    H_best, ok = homography.dlt_homography_minimal(src[sample], dst[sample])
+    errs = homography.transfer_errors(H_best, src, dst)
+    thr_sq = cfg.threshold * cfg.threshold
+    best_mask = (errs * errs <= thr_sq) & point_mask.astype(bool)
+    H_ref = H_best
+    if cfg.refit:
+        w = best_mask.astype(src.dtype)
+        H_ref = homography.dlt_homography(src, dst, w)
+        if cfg.refine_iters > 0:
+            H_ref, _ = refine_homography(
+                H_ref, src, dst, w, max_iters=cfg.refine_iters)
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(H_ref)))
+        H_ref = jnp.where(bad, H_best, H_ref)
+    return RansacResult(
+        model=H_ref, raw_model=H_best, inlier_mask=best_mask,
+        num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
+        counts=counts_all, num_hypotheses=int(n_hyp))
+
+
+def ransac_homography_sweep_large(
+    src: jnp.ndarray, dst: jnp.ndarray, point_mask: jnp.ndarray,
+    cfg: RansacConfig, key_or_seed, interpret: bool = False,
+) -> RansacResult:
+    """Homography RANSAC through the large-N fused sweep
+    (ops.pallas.sweep_large) — fused path for pools of up to 1024 points
+    (two-view matching scale).
+
+    The kernel records carry flat hypothesis ids; the winner's minimal
+    sample is re-derived by replaying the counter PRNG, re-solved exactly
+    and refit on its inliers — same semantics as ``ransac_homography``.
+    """
+    from ransac_tpu.ops.pallas.sweep_large import (
+        BLOCK_H, homography_ransac_sweep_large as _sweep,
+        sample_indices_for)
+
+    seed = _as_seed(key_or_seed)
+    n_hyp = max(cfg.num_hypotheses, BLOCK_H)
+    n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
+    msac_all, counts_all, flat_all, (seeds, n_valid, order) = _sweep(
+        seed, src, dst, point_mask, cfg.threshold, n_hyp=n_hyp,
+        interpret=interpret)
+    row = 1 if cfg.selection == "count" else 0
+    msac_all, counts_all, flat_all = (
+        msac_all[row], counts_all[row], flat_all[row])
+    best = _select_best(counts_all, msac_all, cfg.selection)
+    # Counter replay: re-derive the winning sample's pool indices from its
+    # flat id, then map pool slots back to input rows.
+    pool = sample_indices_for(flat_all[best][None], seeds, n_valid)[0]
+    sample = order[pool]
     H_best, ok = homography.dlt_homography_minimal(src[sample], dst[sample])
     errs = homography.transfer_errors(H_best, src, dst)
     thr_sq = cfg.threshold * cfg.threshold

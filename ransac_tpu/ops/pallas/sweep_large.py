@@ -1,0 +1,307 @@
+"""Large-N fully-fused homography-RANSAC sweep (counter-replay variant).
+
+The 16-point sweep (``ops.pallas.sweep``) gathers minimal samples with a
+log2 selection tree and packs the winner's indices in 4-bit fields — both
+stop scaling past ~16 points.  This variant extends the fused path to
+pools of hundreds of points (two-view matching scale, SURVEY.md §7.2(5) /
+BASELINE configs[2]) while keeping EVERYTHING in one kernel:
+
+- **In-kernel counter sampling over a dynamic pool size**: the murmur3
+  counter hash feeds a 24-bit float range reduction
+  ``idx = floor((bits >> 8) * (n_valid - j) * 2^-24)`` (exact-scale f32
+  multiply, deterministic and replayable in XLA with the same ops) +
+  Fisher-Yates shifts.  ``n_valid`` arrives as an SMEM scalar, so masked
+  points are excluded from sampling without any host-side recompile.
+- **In-kernel one-hot gather**: one ``fori_loop`` over the SMEM point
+  table accumulates the 4 sampled coordinate pairs per lane
+  (4 compares + 16 selects per point across the [SUB, LAN] tile).  An
+  earlier XLA-side gather of [H, 4] samples measured 65 ms at H=2^20 —
+  35x the cost of the whole kernel; TPU gathers over tiny tables are
+  serial.  The in-kernel loop is pure VPU work.
+- **Solve + score fused** as in ``sweep.py``: division-free
+  projective-frame (adjugate) 4-point solve, then a second ``fori_loop``
+  scores all N SMEM points against the hypothesis tile.
+- **Counter replay instead of packed indices**: winner records carry the
+  flat hypothesis id; ``sample_indices_for`` replays the identical hash +
+  float reduction in XLA to recover the sample at any pool size.
+
+The point table enters in valid-first order (wrapper permutes via a
+stable argsort of the mask); pool slot k < n_valid is the k-th valid
+input row.  Replaces cv2.findHomography's hypothesize-and-verify for
+large correspondence sets (reference main_v1.py:312 semantics at
+matching scale).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_H = 4096
+SUB = 8
+LAN = BLOCK_H // SUB
+MAX_POINTS = 1024  # SMEM point table: N * 5 * 4 B (<= 20 KB)
+_INV24 = 1.0 / (1 << 24)
+
+
+def _fmix(x):
+    """murmur3 32-bit finalizer (must match ops.pallas.sweep._fmix)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _draw_seeds(seed):
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    return _fmix(seed_u + jnp.arange(1, 5, dtype=jnp.uint32)
+                 * jnp.uint32(0x9E3779B9))
+
+
+def _range_reduce(bits, n_range):
+    """floor(top-24-bits / 2^24 * n_range) with an exact-scale f32 multiply.
+
+    Bit-identical between XLA and Mosaic: (n_range * 2^-24) is exact
+    (small int times a power of two), so the only rounding is the final
+    fmul, IEEE round-to-nearest on both compilers.  Clamped because
+    u24 ~ 2^24 - 1 can round up to n_range exactly.
+    """
+    # Mosaic has no uint32 -> f32 cast: bitcast to i32 and mask to the
+    # top 24 bits (always positive) before the int -> float convert.
+    u24 = ((jax.lax.bitcast_convert_type(bits, jnp.int32) >> 8)
+           & jnp.int32(0xFFFFFF)).astype(jnp.float32)
+    scale = n_range.astype(jnp.float32) * jnp.float32(_INV24)
+    r = (u24 * scale).astype(jnp.int32)
+    return jnp.minimum(r, n_range - 1)
+
+
+def _fy_draws(flat_u32, seeds, n_valid):
+    """Fisher-Yates 4-subset of [0, n_valid): shared by kernel and replay."""
+    idx = []
+    for j in range(4):
+        bits = _fmix(flat_u32 ^ seeds[j])
+        r = _range_reduce(bits, n_valid - j)
+        prev_sorted = []
+        for p in idx:
+            ins = p
+            out = []
+            for s in prev_sorted:
+                lo = jnp.minimum(s, ins)
+                hi = jnp.maximum(s, ins)
+                out.append(lo)
+                ins = hi
+            out.append(ins)
+            prev_sorted = out
+        for s in prev_sorted:
+            r = r + (r >= s).astype(jnp.int32)
+        idx.append(r)
+    return idx
+
+
+def sample_indices_for(flat, seeds, n_valid):
+    """[..., 4] pool-slot samples for flat hypothesis ids (XLA replay of
+    the in-kernel sampler; identical results by construction)."""
+    return jnp.stack(
+        _fy_draws(flat.astype(jnp.uint32), seeds,
+                  jnp.asarray(n_valid, jnp.int32)), axis=-1)
+
+
+def _make_kernel(n_score: int):
+    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fbest_ref, ibest_ref):
+        thr_sq = thr_ref[0]
+        n_valid = nv_ref[0]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
+        flat = pl.program_id(0) * BLOCK_H + sub * LAN + lane
+        flatu = pltpu.bitcast(flat, jnp.uint32)
+        idx = _fy_draws(flatu, [seed_ref[j] for j in range(4)], n_valid)
+
+        # One-hot gather of the 4 sampled (src, dst) pairs from the SMEM
+        # point table (valid-first order, so idx < n_valid only ever
+        # matches valid rows).
+        def gbody(n, acc):
+            x = pts_ref[n, 0]
+            y = pts_ref[n, 1]
+            px = pts_ref[n, 2]
+            py = pts_ref[n, 3]
+            out = []
+            for j in range(4):
+                sel = idx[j] == n
+                a = acc[j]
+                out.append((jnp.where(sel, x, a[0]), jnp.where(sel, y, a[1]),
+                            jnp.where(sel, px, a[2]),
+                            jnp.where(sel, py, a[3])))
+            return tuple(out)
+
+        zero = jnp.zeros((SUB, LAN), jnp.float32)
+        acc0 = tuple((zero, zero, zero, zero) for _ in range(4))
+        g = jax.lax.fori_loop(0, n_score, gbody, acc0)
+        sx = [g[j][0] for j in range(4)]
+        sy = [g[j][1] for j in range(4)]
+        dx = [g[j][2] for j in range(4)]
+        dy = [g[j][3] for j in range(4)]
+
+        # Projective-frame 4-point solve (division-free; see sweep.py).
+        def det3(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (rx - px) * (qy - py)
+
+        def frame(xs, ys):
+            d0 = det3(xs[0], ys[0], xs[1], ys[1], xs[2], ys[2])
+            l1 = det3(xs[3], ys[3], xs[1], ys[1], xs[2], ys[2])
+            l2 = det3(xs[0], ys[0], xs[3], ys[3], xs[2], ys[2])
+            l3 = det3(xs[0], ys[0], xs[1], ys[1], xs[3], ys[3])
+            M = [[l1 * xs[0], l2 * xs[1], l3 * xs[2]],
+                 [l1 * ys[0], l2 * ys[1], l3 * ys[2]],
+                 [l1, l2, l3]]
+            ok = ((jnp.abs(d0) > 1e-7) & (jnp.abs(l1) > 1e-7)
+                  & (jnp.abs(l2) > 1e-7) & (jnp.abs(l3) > 1e-7))
+            return M, ok
+
+        A, ok_s = frame(sx, sy)
+        B, ok_d = frame(dx, dy)
+        valid = ok_s & ok_d
+
+        adjA = [[A[1][1] * A[2][2] - A[1][2] * A[2][1],
+                 A[0][2] * A[2][1] - A[0][1] * A[2][2],
+                 A[0][1] * A[1][2] - A[0][2] * A[1][1]],
+                [A[1][2] * A[2][0] - A[1][0] * A[2][2],
+                 A[0][0] * A[2][2] - A[0][2] * A[2][0],
+                 A[0][2] * A[1][0] - A[0][0] * A[1][2]],
+                [A[1][0] * A[2][1] - A[1][1] * A[2][0],
+                 A[0][1] * A[2][0] - A[0][0] * A[2][1],
+                 A[0][0] * A[1][1] - A[0][1] * A[1][0]]]
+        H = [None] * 9
+        for r in range(3):
+            for c in range(3):
+                H[3 * r + c] = (B[r][0] * adjA[0][c] + B[r][1] * adjA[1][c]
+                                + B[r][2] * adjA[2][c])
+
+        # Score the full SMEM point table: rows are (x, y, px, py, w).
+        def sbody(n, carry):
+            count, msac = carry
+            x = pts_ref[n, 0]
+            y = pts_ref[n, 1]
+            px = pts_ref[n, 2]
+            py = pts_ref[n, 3]
+            w_pt = pts_ref[n, 4]
+            u = H[0] * x + H[1] * y + H[2]
+            v = H[3] * x + H[4] * y + H[5]
+            w = H[6] * x + H[7] * y + H[8]
+            inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+            du = u * inv_w - px
+            dv = v * inv_w - py
+            e2 = du * du + dv * dv
+            count = count + jnp.where(e2 <= thr_sq, w_pt, 0.0)
+            msac = msac + jnp.minimum(e2, thr_sq) * w_pt
+            return count, msac
+
+        count, msac = jax.lax.fori_loop(0, n_score, sbody, (zero, zero))
+
+        msac = jnp.where(valid, msac, jnp.float32(3.4e38))
+        count = jnp.where(valid, count, -1.0)
+
+        # Sublane reduction to one record per lane per selection rule
+        # (min-MSAC and lexicographic max-count), ties by smallest flat id.
+        msac_m = jnp.min(msac, axis=0, keepdims=True)
+        selm = msac == msac_m
+        flat_m = jnp.min(jnp.where(selm, flat, 2 ** 30),
+                         axis=0, keepdims=True)
+        count_m = jnp.max(jnp.where(selm & (flat == flat_m), count, -2.0),
+                          axis=0, keepdims=True)
+        count_c = jnp.max(count, axis=0, keepdims=True)
+        selc = count == count_c
+        msac_c = jnp.min(jnp.where(selc, msac, jnp.float32(3.4e38)),
+                         axis=0, keepdims=True)
+        flat_c = jnp.min(jnp.where(selc & (msac == msac_c), flat, 2 ** 30),
+                         axis=0, keepdims=True)
+        fbest_ref[...] = jnp.concatenate(
+            [msac_m, count_m, msac_c, count_c], axis=0)
+        ibest_ref[...] = jnp.concatenate([flat_m, flat_c], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "interpret"))
+def homography_ransac_sweep_large(
+    seed, src: jnp.ndarray, dst: jnp.ndarray, point_mask: jnp.ndarray,
+    threshold, n_hyp: int, interpret: bool = False,
+):
+    """Run the large-N fused sweep.
+
+    Returns sublane-reduced records ``(msac [2, B], counts [2, B],
+    flat_id [2, B], aux)`` with B = n_hyp / 8; row 0 selects by min MSAC,
+    row 1 by lexicographic (max count, min MSAC).  ``aux = (seeds,
+    n_valid, order)`` lets the caller replay any flat id's sample with
+    ``sample_indices_for`` (pool slots) and map slots to input rows via
+    ``order``.
+
+    Sampling draws only from points with ``point_mask > 0`` (the engine's
+    sample-validity semantics); scoring covers all points weighted by
+    ``point_mask``.  Requires >= 4 valid points and N <= 1024.
+    """
+    n = src.shape[0]
+    assert n <= MAX_POINTS, n
+    n_blocks = max(n_hyp // BLOCK_H, 1)
+
+    maskf = point_mask.astype(jnp.float32)
+    valid_b = maskf > 0
+    n_valid = valid_b.sum().astype(jnp.int32)
+    # Valid-first stable permutation: pool slot k < n_valid is the k-th
+    # valid input row.
+    order = jnp.argsort(jnp.logical_not(valid_b), stable=True)
+
+    # Global O(1) normalization over valid points (threshold scales with
+    # dst; msac rescaled back below — inlier decisions unchanged).
+    def _norm_params(a):
+        m = jnp.sum(a * maskf[:, None], 0) / jnp.maximum(maskf.sum(), 1.0)
+        d = jnp.sqrt(jnp.sum((a - m) ** 2, -1)) * maskf
+        s = 1.4142135623730951 / jnp.maximum(
+            jnp.sum(d) / jnp.maximum(maskf.sum(), 1.0), 1e-12)
+        return m, s
+
+    sm, s_src = _norm_params(src)
+    dm, s_dst = _norm_params(dst)
+    src_n = (src - sm) * s_src
+    dst_n = (dst - dm) * s_dst
+    thr = (jnp.asarray(threshold, jnp.float32).reshape(1) * s_dst) ** 2
+
+    pts = jnp.concatenate(
+        [src_n, dst_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
+    seeds = _draw_seeds(seed)
+
+    fbest, ibest = pl.pallas_call(
+        _make_kernel(n),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # point table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid
+        ],
+        out_specs=(
+            pl.BlockSpec((4, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_hyp * (250 + 34 * n), transcendentals=0,
+            bytes_accessed=n_blocks * 24),
+    )(pts, thr, seeds, n_valid.reshape(1))
+
+    inv_s2 = 1.0 / (s_dst * s_dst)
+    msac = jnp.where(fbest[jnp.array([0, 2])] >= jnp.float32(3e38),
+                     jnp.float32(3.4e38),
+                     fbest[jnp.array([0, 2])] * inv_s2)
+    return msac, fbest[jnp.array([1, 3])], ibest, (seeds, n_valid, order)

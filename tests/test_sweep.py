@@ -296,3 +296,52 @@ def test_multi_candidate_sweep_matches_engine_on_reference_data():
                                np.asarray(out_e["err2"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out_s["err1"]),
                                np.asarray(out_e["err1"]), atol=1e-3)
+
+
+def test_large_sweep_finds_consensus():
+    from ransac_tpu.ops.pallas.sweep_large import (
+        BLOCK_H as LBLOCK, homography_ransac_sweep_large, sample_indices_for)
+
+    src, dst, n_in = planted(2, n=200, n_out=60, noise=1.0)
+    msac, counts, flat, (seeds, n_valid, order) = (
+        homography_ransac_sweep_large(
+            11, jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src)),
+            75.0, n_hyp=LBLOCK, interpret=True))
+    msac0 = np.asarray(msac[0])
+    counts0 = np.asarray(counts[0])
+    b = int(np.argmin(msac0))
+    assert counts0[b] >= 0.9 * n_in
+    # Counter replay: winner's sample re-solves to the recorded count.
+    pool = sample_indices_for(
+        jnp.asarray(np.asarray(flat[0])[b])[None], seeds, n_valid)[0]
+    sample = np.asarray(order)[np.asarray(pool)]
+    assert len(set(sample.tolist())) == 4
+    Hm, ok = hops.dlt_homography_minimal(
+        jnp.asarray(src[sample]), jnp.asarray(dst[sample]))
+    errs = np.asarray(hops.transfer_errors(
+        Hm, jnp.asarray(src), jnp.asarray(dst)))
+    assert bool(ok)
+    assert abs(int((errs <= 75.0).sum()) - counts0[b]) <= 2  # f32 boundary
+
+
+def test_large_sweep_engine_wrapper_and_mask():
+    src, dst, n_in = planted(3, n=120, n_out=30, noise=1.0)
+    mask = np.ones(len(src), np.float32)
+    mask[5:15] = 0.0
+    src_bad = src.copy()
+    src_bad[5:15] = 1e6  # poison masked rows: sampling them would blow up
+    cfg = RansacConfig(threshold=75.0, num_hypotheses=4096,
+                       exhaustive=False)
+    res = R.ransac_homography_sweep(
+        jnp.asarray(src_bad), jnp.asarray(dst), jnp.asarray(mask), cfg, 5,
+        interpret=True)
+    m = np.asarray(res.inlier_mask)
+    assert not m[5:15].any()          # masked points never inliers
+    assert m.sum() >= 0.9 * (n_in - 10)
+    # Refit model maps remaining true inliers within threshold.
+    errs = np.asarray(hops.transfer_errors(
+        res.model, jnp.asarray(src), jnp.asarray(dst)))
+    good = np.ones(len(src), bool)
+    good[5:15] = False
+    good[n_in:] = False
+    assert np.median(errs[good]) < 10.0
