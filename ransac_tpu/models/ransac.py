@@ -471,3 +471,67 @@ def ransac_essential(
         model=E_ref, raw_model=E_best, inlier_mask=best_mask,
         num_inliers=best_mask.sum(), score=msac[best], best_index=best,
         counts=counts, num_hypotheses=int(valid.shape[0]))
+
+
+def ransac_essential_sweep(
+    x1: jnp.ndarray, x2: jnp.ndarray, point_mask: jnp.ndarray,
+    cfg: RansacConfig, key_or_seed, interpret: bool = False,
+) -> RansacResult:
+    """Essential-matrix RANSAC through the large-N fused 8-point sweep
+    (ops.pallas.sweep_essential_large) — the fused path for two-view
+    matching-scale pools (up to 1024 correspondences).
+
+    Same contract as ``ransac_essential``: ``cfg.threshold`` is the
+    Sampson bound in squared normalized units.  The winner's minimal
+    sample is re-derived by counter replay, re-solved exactly with the
+    normalized 8-point (SVD + rank-2 projection) and refit on its
+    inliers.
+    """
+    from ransac_tpu.ops.pallas.sweep_essential_large import (
+        BLOCK_H as EBLOCK, essential_ransac_sweep_large,
+        minimal_f_canonical, sample_indices_for8)
+
+    seed = _as_seed(key_or_seed)
+    n_hyp = max(cfg.num_hypotheses, EBLOCK)
+    n_hyp = -(-n_hyp // EBLOCK) * EBLOCK
+    msac_all, counts_all, flat_all, (seeds, n_valid, order, norm) = (
+        essential_ransac_sweep_large(
+            seed, x1, x2, point_mask, cfg.threshold, n_hyp=n_hyp,
+            interpret=interpret))
+    row = 1 if cfg.selection == "count" else 0
+    msac_all, counts_all, flat_all = (
+        msac_all[row], counts_all[row], flat_all[row])
+    best = _select_best(counts_all, msac_all, cfg.selection)
+    pool = sample_indices_for8(flat_all[best][None], seeds, n_valid)[0]
+    sample = order[pool]
+    # Re-solve the winner with the SAME canonical-frame arithmetic the
+    # kernel scored, in the sweep's normalized space (projecting a
+    # minimal exactly-fit F to essential — or re-solving it through a
+    # different f32 path — collapses its consensus; measured 342 -> 56 /
+    # -> 175 inliers on a planted 512-point scene).  Essential
+    # enforcement happens in the refit on the consensus set below.
+    m1, m2, s = norm
+    x1_n = (x1 - m1) * s
+    x2_n = (x2 - m2) * s
+    F_n, _ok = minimal_f_canonical(x1_n[sample], x2_n[sample])
+    r_n = epipolar.sampson_distance(F_n, x1_n, x2_n)  # squared, normalized
+    best_mask = (r_n <= cfg.threshold * s * s) & point_mask.astype(bool)
+    # Denormalize for the reported raw model: F = T2^T F_n T1 with
+    # Ti = [[s,0,-s*mi_x],[0,s,-s*mi_y],[0,0,1]].
+    T1m = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    T1m = T1m.at[0, 0].set(s).at[1, 1].set(s)
+    T1m = T1m.at[0, 2].set(-s * m1[0]).at[1, 2].set(-s * m1[1])
+    T2m = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    T2m = T2m.at[0, 0].set(s).at[1, 1].set(s)
+    T2m = T2m.at[0, 2].set(-s * m2[0]).at[1, 2].set(-s * m2[1])
+    E_best = T2m.T @ F_n @ T1m
+    E_ref = E_best
+    if cfg.refit:
+        w = best_mask.astype(x1.dtype)
+        E_ref = epipolar.eight_point(x1, x2, w, essential=True)
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(E_ref)))
+        E_ref = jnp.where(bad, E_best, E_ref)
+    return RansacResult(
+        model=E_ref, raw_model=E_best, inlier_mask=best_mask,
+        num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
+        counts=counts_all, num_hypotheses=int(n_hyp))

@@ -18,13 +18,16 @@ from ransac_tpu.ops.rotation import project_to_so3
 
 def eight_point(
     x1: jnp.ndarray, x2: jnp.ndarray, weights: jnp.ndarray | None = None,
-    essential: bool = True,
+    essential: bool = True, rank2: bool = True,
 ) -> jnp.ndarray:
     """Normalized 8-point algorithm on [...,N>=8,2] correspondences.
 
     Returns F (or E) [...,3,3] with rank-2 constraint enforced; for E the
     two nonzero singular values are averaged (the closest true essential
-    matrix in Frobenius norm).
+    matrix in Frobenius norm).  ``rank2=False`` returns the unconstrained
+    linear solution — what RANSAC kernels score for a minimal sample;
+    projecting a minimal exactly-fit F to rank 2 / essential can distort
+    it badly and collapse its consensus set.
     """
     T1 = normalization_transform(x1, weights)
     T2 = normalization_transform(x2, weights)
@@ -45,13 +48,14 @@ def eight_point(
     # survive denormalization (enforcing sigma1=sigma2 there visibly
     # distorts an exact essential matrix and costs inliers).
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
-    U, S, Vt = svd3x3(F)
-    if essential:
-        s = (S[..., 0] + S[..., 1]) / 2.0
-        S2 = jnp.stack([s, s, jnp.zeros_like(s)], -1)
-    else:
-        S2 = S.at[..., 2].set(0.0)
-    F = (U * S2[..., None, :]) @ Vt
+    if rank2:
+        U, S, Vt = svd3x3(F)
+        if essential:
+            s = (S[..., 0] + S[..., 1]) / 2.0
+            S2 = jnp.stack([s, s, jnp.zeros_like(s)], -1)
+        else:
+            S2 = S.at[..., 2].set(0.0)
+        F = (U * S2[..., None, :]) @ Vt
     norm = jnp.linalg.norm(F.reshape(*F.shape[:-2], 9), axis=-1)
     return F / jnp.maximum(norm, 1e-12)[..., None, None]
 

@@ -58,10 +58,14 @@ def _fmix(x):
     return x
 
 
-def _draw_seeds(seed):
+def _draw_seeds_n(seed, k: int):
     seed_u = jnp.asarray(seed, jnp.uint32)
-    return _fmix(seed_u + jnp.arange(1, 5, dtype=jnp.uint32)
+    return _fmix(seed_u + jnp.arange(1, k + 1, dtype=jnp.uint32)
                  * jnp.uint32(0x9E3779B9))
+
+
+def _draw_seeds(seed):
+    return _draw_seeds_n(seed, 4)
 
 
 def _range_reduce(bits, n_range):
@@ -81,10 +85,10 @@ def _range_reduce(bits, n_range):
     return jnp.minimum(r, n_range - 1)
 
 
-def _fy_draws(flat_u32, seeds, n_valid):
-    """Fisher-Yates 4-subset of [0, n_valid): shared by kernel and replay."""
+def _fy_draws(flat_u32, seeds, n_valid, k: int = 4):
+    """Fisher-Yates k-subset of [0, n_valid): shared by kernel and replay."""
     idx = []
-    for j in range(4):
+    for j in range(k):
         bits = _fmix(flat_u32 ^ seeds[j])
         r = _range_reduce(bits, n_valid - j)
         prev_sorted = []

@@ -345,3 +345,69 @@ def test_large_sweep_engine_wrapper_and_mask():
     good[5:15] = False
     good[n_in:] = False
     assert np.median(errs[good]) < 10.0
+
+
+def _planted_twoview(seed=5, n=100, n_out=30):
+    from ransac_tpu.ops.rotation import exp_so3
+    rng = np.random.default_rng(seed)
+    Xw = rng.uniform(-1, 1, size=(n, 3)) * np.array([2, 2, 1]) + [0, 0, 5]
+    Rm = np.asarray(exp_so3(jnp.asarray(rng.normal(size=3) * 0.1)))
+    t = np.array([1.0, 0.05, 0.1])
+    t /= np.linalg.norm(t)
+    x1 = (Xw[:, :2] / Xw[:, 2:]).astype(np.float32)
+    Xc2 = Xw @ Rm.T + t
+    x2 = (Xc2[:, :2] / Xc2[:, 2:]).astype(np.float32)
+    x2[n - n_out:] += rng.uniform(0.1, 0.3, size=(n_out, 2)) * rng.choice(
+        [-1, 1], (n_out, 2))
+    return x1, x2, n - n_out
+
+
+def test_large_essential_sweep_finds_consensus():
+    from ransac_tpu.ops import epipolar
+    from ransac_tpu.ops.pallas.sweep_essential_large import (
+        essential_ransac_sweep_large, sample_indices_for8)
+
+    x1, x2, n_in = _planted_twoview()
+    thr = (2.0 / 600.0) ** 2
+    msac, counts, flat, (seeds, n_valid, order, _norm) = (
+        essential_ransac_sweep_large(
+            9, jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(x1)), thr,
+            n_hyp=1024, interpret=True, block_h=512))
+    msac0 = np.asarray(msac[0])
+    counts0 = np.asarray(counts[0])
+    b = int(np.argmin(msac0))
+    assert counts0[b] >= 0.85 * n_in
+    # Counter replay: winner's 8-point sample is distinct and outlier-free.
+    pool = sample_indices_for8(
+        jnp.asarray(np.asarray(flat[0])[b])[None], seeds, n_valid)[0]
+    sample = np.asarray(order)[np.asarray(pool)]
+    assert len(set(sample.tolist())) == 8
+    assert all(i < n_in for i in sample)
+    # Exact re-solve on the sample keeps a comparable consensus.
+    E = epipolar.eight_point(jnp.asarray(x1[sample]), jnp.asarray(x2[sample]),
+                             essential=True)
+    d = np.asarray(epipolar.sampson_distance(
+        E, jnp.asarray(x1), jnp.asarray(x2)))
+    assert (d <= thr).sum() >= 0.8 * n_in
+
+
+def test_large_essential_engine_wrapper():
+    from ransac_tpu.ops import epipolar
+
+    x1, x2, n_in = _planted_twoview(seed=6, n=80, n_out=20)
+    mask = np.ones(len(x1), np.float32)
+    mask[:5] = 0.0
+    x1_bad = x1.copy()
+    x1_bad[:5] = 50.0  # poison masked rows: sampling them would blow up
+    thr = (2.0 / 600.0) ** 2
+    cfg = RansacConfig(threshold=thr, num_hypotheses=4096, exhaustive=False)
+    res = R.ransac_essential_sweep(
+        jnp.asarray(x1_bad), jnp.asarray(x2), jnp.asarray(mask), cfg, 4,
+        interpret=True)
+    m = np.asarray(res.inlier_mask)
+    assert not m[:5].any()
+    assert m[5:n_in].sum() >= 0.8 * (n_in - 5)
+    # Refit E is rank-2 essential with small Sampson error on true inliers.
+    d = np.asarray(epipolar.sampson_distance(
+        res.model, jnp.asarray(x1), jnp.asarray(x2)))
+    assert np.median(d[5:n_in]) < thr
