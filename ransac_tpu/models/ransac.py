@@ -365,12 +365,20 @@ def ransac_pnp_sweep(
     focal_px: float = 1.0, interpret: bool = False,
 ) -> RansacResult:
     """PnP RANSAC through the fused P3P Pallas sweep (ops.pallas.sweep_pnp)
-    — the high-throughput path (measured 345M pose-hypotheses/s/chip).
+    — the high-throughput path (measured 3.2B pose-hypotheses/s/chip).
 
     The winning 3-point sample is re-solved exactly on the engine path and
-    LM-refined on its inliers, matching ``ransac_pnp`` semantics.
+    LM-refined on its inliers, matching ``ransac_pnp`` semantics.  Pools
+    larger than the packed-index kernel's 16 points route to the
+    counter-replay large-N sweep (``ransac_pnp_sweep_large``).
     """
-    from ransac_tpu.ops.pallas.sweep_pnp import BLOCK_H, pnp_ransac_sweep
+    from ransac_tpu.ops.pallas.sweep_pnp import (BLOCK_H, MAX_POINTS,
+                                                 pnp_ransac_sweep)
+
+    if Xw.shape[0] > MAX_POINTS:
+        return ransac_pnp_sweep_large(
+            Xw, pixels, K, point_mask, cfg, key_or_seed,
+            focal_px=focal_px, interpret=interpret)
 
     pix_n = projection.normalize_pixels(pixels, K)
     thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
@@ -412,6 +420,75 @@ def ransac_pnp_sweep(
         w = best_mask.astype(Xw.dtype)
         rvec, tvec, _ = refine_pose(
             log_so3(R_best), t_best, Xw, pixels, K, w,
+            max_iters=max(cfg.refine_iters, 1))
+        ok = jnp.all(jnp.isfinite(rvec)) & jnp.all(jnp.isfinite(tvec))
+        R_ref = jnp.where(ok, exp_so3(rvec), R_best)
+        t_ref = jnp.where(ok, tvec, t_best)
+    model = jnp.concatenate([R_ref.reshape(9), t_ref])
+    return RansacResult(
+        model=model, raw_model=model_best, inlier_mask=best_mask,
+        num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
+        counts=counts_all, num_hypotheses=int(n_hyp) * 4)
+
+
+def ransac_pnp_sweep_large(
+    Xw: jnp.ndarray, pixels: jnp.ndarray, K: jnp.ndarray,
+    point_mask: jnp.ndarray, cfg: RansacConfig, key_or_seed,
+    focal_px: float = 1.0, interpret: bool = False,
+) -> RansacResult:
+    """PnP RANSAC through the large-N fused P3P sweep
+    (ops.pallas.sweep_pnp_large) — fused pose path for pools of up to 512
+    points (SfM map-registration scale, vs 16 for ``ransac_pnp_sweep``).
+
+    Kernel records carry flat hypothesis ids; the winner's 3-point sample
+    is re-derived by replaying the counter PRNG, re-solved exactly
+    (all four Grunert roots re-scored) and LM-refined on its inliers —
+    same semantics as ``ransac_pnp``.
+    """
+    from ransac_tpu.ops.pallas.sweep_pnp_large import (
+        BLOCK_H, pnp_ransac_sweep_large as _sweep, sample_indices3_for)
+
+    pix_n = projection.normalize_pixels(pixels, K)
+    thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
+    n_hyp = max(cfg.num_hypotheses, BLOCK_H)
+    n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
+    msac_all, counts_all, packed_all, (seeds, n_valid, order) = _sweep(
+        _as_seed(key_or_seed), Xw, pix_n, point_mask, thr_n, n_hyp=n_hyp,
+        interpret=interpret)
+    row = 1 if cfg.selection == "count" else 0
+    msac_all, counts_all, packed_all = (
+        msac_all[row], counts_all[row], packed_all[row])
+    best = _select_best(counts_all, msac_all, cfg.selection)
+    # Counter replay: packed = flat * 4 + root; re-derive the pool slots
+    # from the flat id and map them back to input rows.
+    pool = sample_indices3_for(packed_all[best][None] >> 2, seeds,
+                               n_valid)[0]
+    sample = order[pool]
+    R4, t4, v4 = pnp.p3p_grunert(Xw[sample], pix_n[sample])
+    models4 = jnp.concatenate([R4.reshape(4, 9), t4], axis=-1)
+    r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n))(models4)
+    r4_sq = jnp.where(jnp.isfinite(r4), r4 * r4, jnp.inf)
+    inl4 = (r4_sq <= thr_n * thr_n) & point_mask.astype(bool)[None, :]
+    msac4 = jnp.where(
+        v4, jnp.where(point_mask[None, :] > 0,
+                      jnp.minimum(r4_sq, thr_n * thr_n), 0.0).sum(-1),
+        jnp.inf)
+    kbest = jnp.argmin(msac4)
+    model_best = models4[kbest]
+    best_mask = inl4[kbest]
+    R_best = model_best[:9].reshape(3, 3)
+    t_best = model_best[9:12]
+    R_ref, t_ref = R_best, t_best
+    if cfg.refit:
+        w = best_mask.astype(Xw.dtype)
+        R_dlt, t_dlt = pnp.dlt_pnp(Xw, pix_n, w)
+        dlt_ok = ((best_mask.sum() >= 6)
+                  & jnp.all(jnp.isfinite(R_dlt))
+                  & jnp.all(jnp.isfinite(t_dlt)))
+        R_seed = jnp.where(dlt_ok, R_dlt, R_best)
+        t_seed = jnp.where(dlt_ok, t_dlt, t_best)
+        rvec, tvec, _ = refine_pose(
+            log_so3(R_seed), t_seed, Xw, pixels, K, w,
             max_iters=max(cfg.refine_iters, 1))
         ok = jnp.all(jnp.isfinite(rvec)) & jnp.all(jnp.isfinite(tvec))
         R_ref = jnp.where(ok, exp_so3(rvec), R_best)

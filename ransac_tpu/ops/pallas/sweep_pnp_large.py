@@ -1,0 +1,333 @@
+"""Large-N fully-fused P3P-RANSAC sweep (counter-replay variant).
+
+The 16-point P3P sweep (``ops.pallas.sweep_pnp``) gathers minimal samples
+with a log2 selection tree and packs winner indices in 4-bit fields — both
+stop scaling past ~16 points.  SfM registration (``pipelines.sfm``) runs
+PnP against hundreds of map correspondences, so this variant extends the
+fused pose path to pools of up to 512 points using the same machinery the
+large-N homography sweep (``ops.pallas.sweep_large``) proved out:
+
+- **In-kernel counter sampling over a dynamic pool size** — the murmur3
+  counter hash + exact-scale 24-bit float range reduction + Fisher-Yates
+  shifts (shared with ``sweep_large``; replayable bit-identically in XLA).
+  ``n_valid`` arrives as an SMEM scalar: masked points never enter a
+  sample with no host-side recompile.
+- **In-kernel one-hot gather** — one ``fori_loop`` over the SMEM point
+  table accumulates the 3 sampled world points + unit bearings per lane.
+- **Grunert P3P in registers** (same solve as ``sweep_pnp``): resultant
+  quartic by Newton-from-Cauchy resolvent cubic + Ferrari, 2-step Newton
+  depth polish through an unrolled adjugate 3x3 solve, exact triangle-
+  frame (triad) absolute orientation — 4 candidate roots per sample.
+- **Per-root scoring fori_loop** over the full SMEM table (cheirality +
+  truncated-MSAC + weighted inlier count), folded into TWO records per
+  block (min-MSAC and lexicographic max-count) with the winning root id
+  packed in the record's low 2 bits — ~24 B of HBM per 4096 hypotheses.
+
+Replaces ``cv2.solvePnPRansac(iterationsCount=5000, ...)``
+(``/root/reference/main_v1.py:497-502``) at map-registration scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ransac_tpu.ops.pallas.sweep_large import (_draw_seeds_n, _fy_draws)
+from ransac_tpu.ops.pallas.sweep_pnp import _solve_quartic_vec
+
+BLOCK_H = 4096
+SUB = 8
+LAN = BLOCK_H // SUB
+MAX_POINTS = 512   # SMEM point table: N * 9 * 4 B (<= 18 KB)
+N_ROOTS = 4
+
+
+def sample_indices3_for(flat, seeds, n_valid):
+    """[..., 3] pool-slot samples for flat hypothesis ids (XLA replay of
+    the in-kernel sampler; identical results by construction)."""
+    return jnp.stack(
+        _fy_draws(flat.astype(jnp.uint32), seeds,
+                  jnp.asarray(n_valid, jnp.int32), k=3), axis=-1)
+
+
+def _make_kernel(n_score: int, block_h: int):
+    LAN = block_h // SUB
+
+    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fbest_ref, ibest_ref):
+        thr_sq = thr_ref[0]
+        n_valid = nv_ref[0]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
+        flat = pl.program_id(0) * block_h + sub * LAN + lane
+        flatu = pltpu.bitcast(flat, jnp.uint32)
+        idx = _fy_draws(flatu, [seed_ref[j] for j in range(3)], n_valid,
+                        k=3)
+
+        # One-hot gather of the 3 sampled (world point, bearing) rows from
+        # the SMEM table (valid-first order: idx < n_valid only ever
+        # matches valid rows).  Row layout: X Y Z fx fy fz px py w.
+        def gbody(n, acc):
+            vals = [pts_ref[n, c] for c in range(6)]
+            out = []
+            for j in range(3):
+                sel = idx[j] == n
+                out.append(tuple(
+                    jnp.where(sel, vals[c], acc[j][c]) for c in range(6)))
+            return tuple(out)
+
+        zero = jnp.zeros((SUB, LAN), jnp.float32)
+        acc0 = tuple((zero,) * 6 for _ in range(3))
+        g = jax.lax.fori_loop(0, n_score, gbody, acc0)
+        P = [[g[j][c] for c in range(3)] for j in range(3)]
+        F = [[g[j][3 + c] for c in range(3)] for j in range(3)]
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        def sub3(a, b):
+            return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
+
+        def norm3(a):
+            return jnp.sqrt(dot3(a, a) + 1e-30)
+
+        # Grunert P3P (identical math to sweep_pnp._make_kernel).
+        cos_a = dot3(F[1], F[2])
+        cos_b = dot3(F[0], F[2])
+        cos_g = dot3(F[0], F[1])
+        a2 = dot3(sub3(P[1], P[2]), sub3(P[1], P[2]))
+        b2 = jnp.maximum(dot3(sub3(P[0], P[2]), sub3(P[0], P[2])), 1e-12)
+        c2 = dot3(sub3(P[0], P[1]), sub3(P[0], P[1]))
+        ra = a2 / b2
+        rc = c2 / b2
+
+        qa2, qa1, qa0 = ra, -2.0 * ra * cos_b, ra
+        qc2, qc1, qc0 = rc, -2.0 * rc * cos_b, rc
+        n2 = 1.0 - qa2 + qc2
+        n1 = -qa1 + qc1
+        n0 = -qa0 - 1.0 + qc0
+        p2_, p1_, p0_ = -qc2, -qc1, 1.0 - qc0
+        d1, d0 = 2.0 * cos_a, -2.0 * cos_g
+
+        c4 = n2 * n2 + p2_ * d1 * d1
+        c3 = (2 * n2 * n1 - 2 * cos_g * (n2 * d1) + 2 * p2_ * d1 * d0
+              + p1_ * d1 * d1)
+        c2_ = (2 * n2 * n0 + n1 * n1 - 2 * cos_g * (n2 * d0 + n1 * d1)
+               + p2_ * d0 * d0 + 2 * p1_ * d1 * d0 + p0_ * d1 * d1)
+        c1 = (2 * n1 * n0 - 2 * cos_g * (n1 * d0 + n0 * d1)
+              + p1_ * d0 * d0 + 2 * p0_ * d1 * d0)
+        c0 = n0 * n0 - 2 * cos_g * (n0 * d0) + p0_ * d0 * d0
+        c4s = jnp.where(jnp.abs(c4) < 1e-12, 1e-12, c4)
+        roots, root_ok = _solve_quartic_vec(
+            c3 / c4s, c2_ / c4s, c1 / c4s, c0 / c4s)
+
+        big = jnp.float32(3.4e38)
+        bestA_msac = jnp.full((SUB, LAN), big)
+        bestA_count = jnp.full((SUB, LAN), -1.0)
+        bestA_root = jnp.zeros((SUB, LAN), jnp.int32)
+        bestB_msac = jnp.full((SUB, LAN), big)
+        bestB_count = jnp.full((SUB, LAN), -1.0)
+        bestB_root = jnp.zeros((SUB, LAN), jnp.int32)
+
+        for k in range(N_ROOTS):
+            v = roots[k]
+            D = d1 * v + d0
+            N = (n2 * v + n1) * v + n0
+            u = N / jnp.where(jnp.abs(D) < 1e-9, 1e-9, D)
+            s1 = jnp.sqrt(b2 / jnp.maximum(
+                1.0 + v * v - 2.0 * v * cos_b, 1e-12))
+            s2 = u * s1
+            s3 = v * s1
+            valid = (root_ok[k] & (v > 1e-6) & (u > 1e-6)
+                     & (jnp.abs(D) > 1e-9))
+
+            # Newton polish of depths on the law-of-cosines system.
+            for _ in range(2):
+                r1 = s2 * s2 + s3 * s3 - 2 * s2 * s3 * cos_a - a2
+                r2 = s1 * s1 + s3 * s3 - 2 * s1 * s3 * cos_b - b2
+                r3 = s1 * s1 + s2 * s2 - 2 * s1 * s2 * cos_g - c2
+                j12 = 2 * s2 - 2 * s3 * cos_a
+                j13 = 2 * s3 - 2 * s2 * cos_a
+                j21 = 2 * s1 - 2 * s3 * cos_b
+                j23 = 2 * s3 - 2 * s1 * cos_b
+                j31 = 2 * s1 - 2 * s2 * cos_g
+                j32 = 2 * s2 - 2 * s1 * cos_g
+                det = (- j12 * (0.0 - j23 * j31) + j13 * (j21 * j32 - 0.0))
+                det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+                b1, b2r, b3 = -r1, -r2, -r3
+                ds1 = (b1 * (0.0 - j23 * j32) - j12 * (b2r * 0.0 - j23 * b3)
+                       + j13 * (b2r * j32 - 0.0 * b3)) / det
+                ds2 = (0.0 - b1 * (j21 * 0.0 - j23 * j31)
+                       + j13 * (j21 * b3 - b2r * j31)) / det
+                ds3 = (0.0 - j12 * (j21 * b3 - b2r * j31)
+                       + b1 * (j21 * j32 - 0.0)) / det
+                lim1 = 0.1 * jnp.abs(s1) + 1e-6
+                s1 = s1 + jnp.clip(ds1, -lim1, lim1)
+                s2 = s2 + jnp.clip(ds2, -lim1, lim1)
+                s3 = s3 + jnp.clip(ds3, -lim1, lim1)
+            valid = valid & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
+            C = [[F[j][c] * (s1, s2, s3)[j] for c in range(3)]
+                 for j in range(3)]
+
+            def triad(Pts):
+                u1 = sub3(Pts[1], Pts[0])
+                e1n = norm3(u1)
+                e1 = [u1[c] / e1n for c in range(3)]
+                v1 = sub3(Pts[2], Pts[0])
+                d_ = dot3(v1, e1)
+                vp = [v1[c] - d_ * e1[c] for c in range(3)]
+                vpn = norm3(vp)
+                e2 = [vp[c] / vpn for c in range(3)]
+                e3 = [e1[1] * e2[2] - e1[2] * e2[1],
+                      e1[2] * e2[0] - e1[0] * e2[2],
+                      e1[0] * e2[1] - e1[1] * e2[0]]
+                return e1, e2, e3
+
+            ew = triad(P)
+            ec = triad(C)
+            R = [[ec[0][r] * ew[0][c] + ec[1][r] * ew[1][c]
+                  + ec[2][r] * ew[2][c] for c in range(3)]
+                 for r in range(3)]
+            cw = [(P[0][c] + P[1][c] + P[2][c]) / 3.0 for c in range(3)]
+            ccm = [(C[0][c] + C[1][c] + C[2][c]) / 3.0 for c in range(3)]
+            t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
+                           + R[r][2] * cw[2]) for r in range(3)]
+
+            # Score the full SMEM table against this root's pose.
+            far = jnp.float32(1e12)
+
+            def sbody(nn, carry):
+                count, msac = carry
+                Xx = pts_ref[nn, 0]
+                Xy = pts_ref[nn, 1]
+                Xz = pts_ref[nn, 2]
+                px = pts_ref[nn, 6]
+                py = pts_ref[nn, 7]
+                wp = pts_ref[nn, 8]
+                xc = R[0][0] * Xx + R[0][1] * Xy + R[0][2] * Xz + t[0]
+                yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
+                zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
+                behind = zc <= 1e-6
+                inv_z = 1.0 / jnp.where(behind, 1.0, zc)
+                du = xc * inv_z - px
+                dv = yc * inv_z - py
+                e2_ = jnp.where(behind, far, du * du + dv * dv)
+                count = count + jnp.where(e2_ <= thr_sq, wp, 0.0)
+                msac = msac + jnp.minimum(e2_, thr_sq) * wp
+                return count, msac
+
+            count, msac = jax.lax.fori_loop(0, n_score, sbody, (zero, zero))
+            msac = jnp.where(valid, msac, big)
+            count = jnp.where(valid, count, -1.0)
+
+            updA = msac < bestA_msac
+            bestA_count = jnp.where(updA, count, bestA_count)
+            bestA_root = jnp.where(updA, k, bestA_root)
+            bestA_msac = jnp.minimum(msac, bestA_msac)
+            updB = (count > bestB_count) | ((count == bestB_count)
+                                            & (msac < bestB_msac))
+            bestB_count = jnp.where(updB, count, bestB_count)
+            bestB_msac = jnp.where(updB, msac, bestB_msac)
+            bestB_root = jnp.where(updB, k, bestB_root)
+
+        # Sublane reduction to one record per lane per selection rule;
+        # records carry packed = flat * 4 + root (flat < 2^28), ties by
+        # smallest packed id (= smallest flat id).
+        packedA = flat * 4 + bestA_root
+        packedB = flat * 4 + bestB_root
+        msac_m = jnp.min(bestA_msac, axis=0, keepdims=True)
+        selm = bestA_msac == msac_m
+        packed_m = jnp.min(jnp.where(selm, packedA, 2 ** 30),
+                           axis=0, keepdims=True)
+        count_m = jnp.max(jnp.where(selm & (packedA == packed_m),
+                                    bestA_count, -2.0),
+                          axis=0, keepdims=True)
+        count_c = jnp.max(bestB_count, axis=0, keepdims=True)
+        selc = bestB_count == count_c
+        msac_c = jnp.min(jnp.where(selc, bestB_msac, big),
+                         axis=0, keepdims=True)
+        packed_c = jnp.min(jnp.where(selc & (bestB_msac == msac_c),
+                                     packedB, 2 ** 30),
+                           axis=0, keepdims=True)
+        fbest_ref[...] = jnp.concatenate(
+            [msac_m, count_m, msac_c, count_c], axis=0)
+        ibest_ref[...] = jnp.concatenate([packed_m, packed_c], axis=0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_hyp", "interpret", "block_h"))
+def pnp_ransac_sweep_large(
+    seed, Xw: jnp.ndarray, pix_n: jnp.ndarray, point_mask: jnp.ndarray,
+    threshold_n, n_hyp: int, interpret: bool = False,
+    block_h: int | None = None,
+):
+    """Run the large-N fused P3P sweep on normalized coords.
+
+    Returns sublane-reduced records ``(msac [2, B], counts [2, B],
+    packed [2, B], aux)`` with B = n_hyp / 8; row 0 selects by min MSAC,
+    row 1 by lexicographic (max count, min MSAC).  Each record is the best
+    across its hypothesis's four P3P roots; ``packed = flat_id * 4 +
+    root``.  ``aux = (seeds, n_valid, order)`` lets the caller replay any
+    flat id's 3-point sample with :func:`sample_indices3_for` (pool slots)
+    and map slots to input rows via ``order``.
+
+    Sampling draws only from points with ``point_mask > 0``; scoring
+    covers all points weighted by ``point_mask``.  ``threshold_n`` is in
+    normalized units (pixel_threshold / focal).  Requires >= 3 valid
+    points and N <= 512.
+    """
+    n = Xw.shape[0]
+    assert n <= MAX_POINTS, n
+    if block_h is None:
+        block_h = BLOCK_H
+    assert block_h % SUB == 0
+    LAN = block_h // SUB
+    n_blocks = max(n_hyp // block_h, 1)
+
+    maskf = point_mask.astype(jnp.float32)
+    valid_b = maskf > 0
+    n_valid = valid_b.sum().astype(jnp.int32)
+    order = jnp.argsort(jnp.logical_not(valid_b), stable=True)
+
+    ones = jnp.ones_like(pix_n[..., :1])
+    f = jnp.concatenate([pix_n, ones], -1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    pts = jnp.concatenate(
+        [Xw, f, pix_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
+    thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
+    seeds = _draw_seeds_n(seed, 3)
+
+    fbest, ibest = pl.pallas_call(
+        _make_kernel(n, block_h),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # point table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid
+        ],
+        out_specs=(
+            pl.BlockSpec((4, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LAN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_hyp * (2500 + (6 + 4 * 25) * n),
+            transcendentals=n_hyp * 20,
+            bytes_accessed=n_blocks * 24),
+    )(pts, thr, seeds, n_valid.reshape(1))
+
+    return (fbest[jnp.array([0, 2])], fbest[jnp.array([1, 3])], ibest,
+            (seeds, n_valid, order))

@@ -83,17 +83,26 @@ def incremental_sfm(
     ba_every: int = 1,
     seed: int = 0,
     checkpoint_dir: str | None = None,
+    engine: str | None = None,
 ) -> SfmMap:
     """Run incremental reconstruction over ``frame_order``.
 
     The world frame is the first camera; global scale is fixed by the
     two-view baseline (unit norm) — standard monocular gauge.
 
+    ``engine``: "sweep" routes bootstrap essential-RANSAC and PnP
+    registration through the fused Pallas kernels (counter-replay large-N
+    sweeps), "stage" through the vmapped stage-wise engine; default picks
+    by platform (sweep on TPU).
+
     With ``checkpoint_dir``, the map snapshots after every BA (orbax-backed,
     utils.checkpointing) and a rerun resumes from the last registered frame
     instead of recomputing — the reference recomputes its whole search from
     scratch every run (SURVEY.md §5 "checkpoint/resume: absent").
     """
+    if engine is None:
+        engine = ("sweep" if jax.devices()[0].platform == "tpu"
+                  else "stage")
     m = SfmMap(K=np.asarray(K, np.float64))
     ckpt = None
     if checkpoint_dir is not None:
@@ -147,8 +156,12 @@ def incremental_sfm(
             num_hypotheses=ransac_cfg.num_hypotheses, exhaustive=False,
             selection=ransac_cfg.selection)
         key, k1 = jax.random.split(key)
-        eres = ransac_mod.ransac_essential(
-            x1, x2, jnp.ones(len(common)), e_cfg, k1)
+        if engine == "sweep" and len(common) <= 1024:
+            eres = ransac_mod.ransac_essential_sweep(
+                x1, x2, jnp.ones(len(common)), e_cfg, k1)
+        else:
+            eres = ransac_mod.ransac_essential(
+                x1, x2, jnp.ones(len(common)), e_cfg, k1)
         R, t, X, n = epipolar.recover_pose(
             eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
         inl = np.asarray(eres.inlier_mask)
@@ -173,7 +186,10 @@ def incremental_sfm(
         Xw = np.stack([m.points[t] for t in vis])
         uv = np.stack([tracks[(f, t)] for t in vis])
         key, k2 = jax.random.split(key)
-        res = ransac_mod.ransac_pnp(
+        pnp_fn = (ransac_mod.ransac_pnp_sweep
+                  if engine == "sweep" and len(vis) <= 512
+                  else ransac_mod.ransac_pnp)
+        res = pnp_fn(
             jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
             Kj, jnp.ones(len(vis)), ransac_cfg, k2,
             focal_px=float(K[0, 0] + K[1, 1]) / 2.0)

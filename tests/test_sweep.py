@@ -411,3 +411,90 @@ def test_large_essential_engine_wrapper():
     d = np.asarray(epipolar.sampson_distance(
         res.model, jnp.asarray(x1), jnp.asarray(x2)))
     assert np.median(d[5:n_in]) < thr
+
+
+def _planted_pnp_scene(seed=7, n_in=40, n_out=12, f=900.0):
+    from ransac_tpu.ops import projection as proj
+    from ransac_tpu.ops.rotation import exp_so3
+
+    rng = np.random.default_rng(seed)
+    R_true = np.asarray(exp_so3(jnp.asarray(np.array([0.12, -0.18, 0.06]))))
+    t_true = np.array([0.25, -0.15, 6.5])
+    n = n_in + n_out
+    X = rng.uniform(-2, 2, (n, 3)) * np.array([1, 1, 0.5])
+    K = np.array([[f, 0, 400], [0, f, 300], [0, 0, 1.0]])
+    pix, _ = proj.project_points(
+        jnp.asarray(X), jnp.asarray(R_true), jnp.asarray(t_true),
+        jnp.asarray(K))
+    pix = np.array(pix)
+    pix[n_in:] += rng.uniform(120, 400, size=(n_out, 2))
+    return X, pix, K, R_true, t_true
+
+
+def test_large_pnp_sweep_finds_consensus():
+    """Large-N P3P sweep (counter replay) finds the planted pose on a
+    40-inlier/12-outlier pool — beyond the 16-point packed-index kernel."""
+    from ransac_tpu.ops import pnp as pnp_mod
+    from ransac_tpu.ops import projection as proj
+    from ransac_tpu.ops.pallas.sweep_pnp_large import (
+        pnp_ransac_sweep_large, sample_indices3_for)
+
+    X, pix, K, R_true, t_true = _planted_pnp_scene()
+    n = len(X)
+    pixn = np.asarray(proj.normalize_pixels(
+        jnp.asarray(pix, jnp.float32), jnp.asarray(K, jnp.float32)))
+    thr_n = 10.0 / 900.0
+
+    msac, counts, packed, (seeds, n_valid, order) = pnp_ransac_sweep_large(
+        3, jnp.asarray(X, jnp.float32), jnp.asarray(pixn),
+        jnp.ones(n), thr_n, n_hyp=2048, interpret=True, block_h=512)
+    msac0 = np.asarray(msac[0])
+    counts0 = np.asarray(counts[0])
+    b = int(np.argmin(msac0))
+    assert counts0[b] >= 0.85 * 40, counts0[b]
+    # Counter replay: winner's 3-point sample is distinct; exact re-solve
+    # of the winning hypothesis reproduces the consensus.
+    p = int(np.asarray(packed[0])[b])
+    pool = sample_indices3_for(jnp.asarray(p >> 2)[None], seeds, n_valid)[0]
+    sample = np.asarray(order)[np.asarray(pool)]
+    assert len(set(sample.tolist())) == 3
+    R4, t4, v4 = pnp_mod.p3p_grunert(
+        jnp.asarray(X[sample], jnp.float32), jnp.asarray(pixn[sample]))
+    best = 0
+    for k in range(4):
+        if not bool(v4[k]):
+            continue
+        pp, z = proj.project_points(
+            jnp.asarray(X, jnp.float32), R4[k], t4[k],
+            jnp.asarray(K, jnp.float32))
+        e = np.linalg.norm(np.asarray(pp) - pix, axis=1)
+        best = max(best, int(((e <= 10) & (np.asarray(z) > 0)).sum()))
+    assert best >= 0.85 * 40, best
+
+
+def test_large_pnp_engine_wrapper_and_mask():
+    """ransac_pnp_sweep auto-routes pools > 16 points to the large-N
+    kernel; masked points never enter a sample; the LM-refined pose
+    matches the planted ground truth."""
+    from ransac_tpu.ops.rotation import geodesic_distance
+
+    X, pix, K, R_true, t_true = _planted_pnp_scene(seed=11, n_in=36,
+                                                   n_out=10)
+    n = len(X)
+    mask = np.ones(n, np.float32)
+    mask[:4] = 0.0
+    X_bad = X.copy()
+    X_bad[:4] = 1e6  # poison masked rows: sampling them would blow up
+
+    res = R.ransac_pnp_sweep(
+        jnp.asarray(X_bad, jnp.float32), jnp.asarray(pix, jnp.float32),
+        jnp.asarray(K, jnp.float32), jnp.asarray(mask),
+        RansacConfig(threshold=8.0, num_hypotheses=4096), 5,
+        focal_px=900.0, interpret=True)
+    m = np.asarray(res.inlier_mask)
+    assert not m[:4].any()
+    assert m[4:36].sum() >= 0.8 * 32, m[4:36].sum()
+    Rm, t = R.pnp_pose_from_result(res)
+    ang = float(geodesic_distance(Rm, jnp.asarray(R_true)))
+    assert ang < 0.01, ang
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=0.05)
