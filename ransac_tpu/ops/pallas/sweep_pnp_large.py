@@ -125,13 +125,7 @@ def _make_kernel(n_score: int, block_h: int):
             c3 / c4s, c2_ / c4s, c1 / c4s, c0 / c4s)
 
         big = jnp.float32(3.4e38)
-        bestA_msac = jnp.full((SUB, LAN), big)
-        bestA_count = jnp.full((SUB, LAN), -1.0)
-        bestA_root = jnp.zeros((SUB, LAN), jnp.int32)
-        bestB_msac = jnp.full((SUB, LAN), big)
-        bestB_count = jnp.full((SUB, LAN), -1.0)
-        bestB_root = jnp.zeros((SUB, LAN), jnp.int32)
-
+        poses = []   # per root: (valid, R, t)
         for k in range(N_ROOTS):
             v = roots[k]
             D = d1 * v + d0
@@ -196,18 +190,23 @@ def _make_kernel(n_score: int, block_h: int):
             ccm = [(C[0][c] + C[1][c] + C[2][c]) / 3.0 for c in range(3)]
             t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
                            + R[r][2] * cw[2]) for r in range(3)]
+            poses.append((valid, R, t))
 
-            # Score the full SMEM table against this root's pose.
-            far = jnp.float32(1e12)
+        # Score the full SMEM table against all four roots in ONE pass
+        # (each point row is loaded/broadcast once instead of 4x).
+        far = jnp.float32(1e12)
 
-            def sbody(nn, carry):
-                count, msac = carry
-                Xx = pts_ref[nn, 0]
-                Xy = pts_ref[nn, 1]
-                Xz = pts_ref[nn, 2]
-                px = pts_ref[nn, 6]
-                py = pts_ref[nn, 7]
-                wp = pts_ref[nn, 8]
+        def sbody(nn, carry):
+            Xx = pts_ref[nn, 0]
+            Xy = pts_ref[nn, 1]
+            Xz = pts_ref[nn, 2]
+            px = pts_ref[nn, 6]
+            py = pts_ref[nn, 7]
+            wp = pts_ref[nn, 8]
+            out = []
+            for k in range(N_ROOTS):
+                count, msac = carry[k]
+                _, R, t = poses[k]
                 xc = R[0][0] * Xx + R[0][1] * Xy + R[0][2] * Xz + t[0]
                 yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
                 zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
@@ -216,11 +215,22 @@ def _make_kernel(n_score: int, block_h: int):
                 du = xc * inv_z - px
                 dv = yc * inv_z - py
                 e2_ = jnp.where(behind, far, du * du + dv * dv)
-                count = count + jnp.where(e2_ <= thr_sq, wp, 0.0)
-                msac = msac + jnp.minimum(e2_, thr_sq) * wp
-                return count, msac
+                out.append((count + jnp.where(e2_ <= thr_sq, wp, 0.0),
+                            msac + jnp.minimum(e2_, thr_sq) * wp))
+            return tuple(out)
 
-            count, msac = jax.lax.fori_loop(0, n_score, sbody, (zero, zero))
+        scores = jax.lax.fori_loop(
+            0, n_score, sbody, tuple((zero, zero) for _ in range(N_ROOTS)))
+
+        bestA_msac = jnp.full((SUB, LAN), big)
+        bestA_count = jnp.full((SUB, LAN), -1.0)
+        bestA_root = jnp.zeros((SUB, LAN), jnp.int32)
+        bestB_msac = jnp.full((SUB, LAN), big)
+        bestB_count = jnp.full((SUB, LAN), -1.0)
+        bestB_root = jnp.zeros((SUB, LAN), jnp.int32)
+        for k in range(N_ROOTS):
+            valid = poses[k][0]
+            count, msac = scores[k]
             msac = jnp.where(valid, msac, big)
             count = jnp.where(valid, count, -1.0)
 
