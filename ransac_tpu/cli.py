@@ -307,6 +307,23 @@ def _cmd_profile(args):
         prof.measure("fused_p3p_sweep", jax.jit(sweep_pnp), 0,
                      flops=H * (2500 + 100 * n), bytes_moved=H // 42)
 
+        from ransac_tpu.ops.pallas.sweep_pnp_large import (
+            pnp_ransac_sweep_large)
+
+        nL = 256
+        XwL = jnp.asarray(rng.uniform(-2, 2, (nL, 3)).astype(np.float32))
+        pixnL = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (nL, 2)).astype(np.float32))
+
+        def sweep_pnp_l(seed):
+            return pnp_ransac_sweep_large(
+                seed, XwL, pixnL, jnp.ones(nL, jnp.float32), 30.0 / 900.0,
+                n_hyp=H)
+
+        prof.measure("fused_p3p_sweep_large_n256",
+                     jax.jit(sweep_pnp_l), 0,
+                     flops=H * (2500 + 106 * nL), bytes_moved=H // 42)
+
         from ransac_tpu.ops.pallas.sweep_essential import (
             essential_ransac_sweep)
 
