@@ -193,34 +193,41 @@ def _make_kernel(n_score: int, block_h: int):
             poses.append((valid, R, t))
 
         # Score the full SMEM table against all four roots in ONE pass
-        # (each point row is loaded/broadcast once instead of 4x).
+        # (each point row is loaded/broadcast once for all 4 poses), two
+        # points per trip for ILP (independent dependency chains; padded
+        # rows carry w=0).
         far = jnp.float32(1e12)
 
         def sbody(nn, carry):
-            Xx = pts_ref[nn, 0]
-            Xy = pts_ref[nn, 1]
-            Xz = pts_ref[nn, 2]
-            px = pts_ref[nn, 6]
-            py = pts_ref[nn, 7]
-            wp = pts_ref[nn, 8]
-            out = []
-            for k in range(N_ROOTS):
-                count, msac = carry[k]
-                _, R, t = poses[k]
-                xc = R[0][0] * Xx + R[0][1] * Xy + R[0][2] * Xz + t[0]
-                yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
-                zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
-                behind = zc <= 1e-6
-                inv_z = 1.0 / jnp.where(behind, 1.0, zc)
-                du = xc * inv_z - px
-                dv = yc * inv_z - py
-                e2_ = jnp.where(behind, far, du * du + dv * dv)
-                out.append((count + jnp.where(e2_ <= thr_sq, wp, 0.0),
-                            msac + jnp.minimum(e2_, thr_sq) * wp))
-            return tuple(out)
+            out = carry
+            for half in (0, 1):
+                row = 2 * nn + half
+                Xx = pts_ref[row, 0]
+                Xy = pts_ref[row, 1]
+                Xz = pts_ref[row, 2]
+                px = pts_ref[row, 6]
+                py = pts_ref[row, 7]
+                wp = pts_ref[row, 8]
+                nxt = []
+                for k in range(N_ROOTS):
+                    count, msac = out[k]
+                    _, R, t = poses[k]
+                    xc = R[0][0] * Xx + R[0][1] * Xy + R[0][2] * Xz + t[0]
+                    yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
+                    zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
+                    behind = zc <= 1e-6
+                    inv_z = 1.0 / jnp.where(behind, 1.0, zc)
+                    du = xc * inv_z - px
+                    dv = yc * inv_z - py
+                    e2_ = jnp.where(behind, far, du * du + dv * dv)
+                    nxt.append((count + jnp.where(e2_ <= thr_sq, wp, 0.0),
+                                msac + jnp.minimum(e2_, thr_sq) * wp))
+                out = tuple(nxt)
+            return out
 
         scores = jax.lax.fori_loop(
-            0, n_score, sbody, tuple((zero, zero) for _ in range(N_ROOTS)))
+            0, (n_score + 1) // 2, sbody,
+            tuple((zero, zero) for _ in range(N_ROOTS)))
 
         bestA_msac = jnp.full((SUB, LAN), big)
         bestA_count = jnp.full((SUB, LAN), -1.0)
@@ -310,6 +317,8 @@ def pnp_ransac_sweep_large(
     f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
     pts = jnp.concatenate(
         [Xw, f, pix_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
+    if n % 2:  # pad to even rows for the 2-point-unrolled score loop
+        pts = jnp.concatenate([pts, jnp.zeros((1, 9), jnp.float32)])
     thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
     seeds = _draw_seeds_n(seed, 3)
 
