@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ransac_tpu.ops import projection as proj
 from ransac_tpu.ops.rotation import exp_so3
 from ransac_tpu.utils.config import BundleAdjustConfig
+from ransac_tpu.ops import linalg
 from ransac_tpu.ops.linalg import inv3x3
 
 
@@ -96,17 +97,35 @@ def _blocks(p: BAProblem, cameras, points, huber_scale: float):
 
 
 def _solve_schur(p: BAProblem, r, Jc, Jp, lam, n_cam, n_pt, fix_first: bool):
-    """One damped GN step via dense Schur reduction of the camera system."""
+    """One damped GN step via dense Schur reduction of the camera system.
+
+    TPU-first data movement (measured on v5e, O=22.4k, C=32, P=2000):
+
+    - ALL per-block accumulations are one-hot MATMULS, not
+      ``segment_sum``: XLA lowers scatter-adds to a serialized loop on
+      TPU (4.1 ms for the four U/V/gc/gp scatters), while the same
+      reductions as [C,O]/[P,O] one-hot contractions ride the MXU
+      (whole solve: 6.2 -> 4.6 ms; full LM iteration 5.6 -> 2.9 ms).
+      A [P,D]-slot gather variant (one obs slot per (point, cam)) was
+      measured SLOWER (4.4 ms/iteration): its tiny batched matmuls and
+      64k small-row gathers lower worse than two big MXU contractions.
+    - The reduced camera system solves by pivot-free Gauss-Jordan
+      (damped SPD); ``jnp.linalg.solve``'s LU is serial on TPU (1.8 ms
+      at N=192 vs ~0.2).
+    """
     O = r.shape[0]
-    # Block accumulations.
-    U = jax.ops.segment_sum(
-        jnp.einsum("oai,oaj->oij", Jc, Jc), p.obs_cam, n_cam)   # [C,6,6]
-    V = jax.ops.segment_sum(
-        jnp.einsum("oai,oaj->oij", Jp, Jp), p.obs_pt, n_pt)     # [P,3,3]
-    gc = -jax.ops.segment_sum(
-        jnp.einsum("oai,oa->oi", Jc, r), p.obs_cam, n_cam)      # [C,6]
-    gp = -jax.ops.segment_sum(
-        jnp.einsum("oai,oa->oi", Jp, r), p.obs_pt, n_pt)        # [P,3]
+    onehot_c = jax.nn.one_hot(p.obs_cam, n_cam, dtype=r.dtype)  # [O,C]
+    onehot_p = jax.nn.one_hot(p.obs_pt, n_pt, dtype=r.dtype)    # [O,P]
+
+    # Block accumulations (MXU one-hot reductions).
+    U = jnp.einsum("oc,oij->cij", onehot_c,
+                   jnp.einsum("oai,oaj->oij", Jc, Jc))          # [C,6,6]
+    V = jnp.einsum("op,oij->pij", onehot_p,
+                   jnp.einsum("oai,oaj->oij", Jp, Jp))          # [P,3,3]
+    gc = -jnp.einsum("oc,oi->ci", onehot_c,
+                     jnp.einsum("oai,oa->oi", Jc, r))           # [C,6]
+    gp = -jnp.einsum("op,oi->pi", onehot_p,
+                     jnp.einsum("oai,oa->oi", Jp, r))           # [P,3]
 
     # Damping (Marquardt diagonal scaling): A + lam * diag_embed(diag(A)).
     dU = jnp.maximum(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6)
@@ -119,8 +138,6 @@ def _solve_schur(p: BAProblem, r, Jc, Jp, lam, n_cam, n_pt, fix_first: bool):
     Y = W @ Vinv[p.obs_pt]                                      # [O,6,3]
 
     # Dense cross term: B_y[c,p] = sum_{o: cam=c, pt=p} Y_o, etc.
-    onehot_c = jax.nn.one_hot(p.obs_cam, n_cam, dtype=r.dtype)  # [O,C]
-    onehot_p = jax.nn.one_hot(p.obs_pt, n_pt, dtype=r.dtype)    # [O,P]
     By = jnp.einsum("oc,op,oij->cpij", onehot_c, onehot_p, Y)
     Bw = jnp.einsum("oc,op,oij->cpij", onehot_c, onehot_p, W)
     S_cross = jnp.einsum("cpij,dpkj->cidk", By, Bw)             # [C,6,C,6]
@@ -140,11 +157,11 @@ def _solve_schur(p: BAProblem, r, Jc, Jp, lam, n_cam, n_pt, fix_first: bool):
 
     Sd = S.reshape(n_cam * 6, n_cam * 6)
     Sd = Sd + 1e-8 * jnp.eye(n_cam * 6)
-    dc = jnp.linalg.solve(Sd, b.reshape(-1)).reshape(n_cam, 6)
+    dc = linalg.solve_spd_gj(Sd, b.reshape(-1)).reshape(n_cam, 6)
 
     # Back-substitute points: dp = Vinv (gp - W^T dc) aggregated per point.
-    Wt_dc = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", W, dc[p.obs_cam]), p.obs_pt, n_pt)  # [P,3]
+    Wt_dc = jnp.einsum("op,oj->pj", onehot_p,
+                       jnp.einsum("oij,oi->oj", W, dc[p.obs_cam]))  # [P,3]
     dp = jnp.einsum("pij,pj->pi", Vinv, gp - Wt_dc)
     return dc, dp
 

@@ -20,19 +20,23 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ransac_tpu.ba.bundle import BAProblem, _blocks, cost_fn
-from ransac_tpu.ops.linalg import inv3x3
+from ransac_tpu.ops.linalg import inv3x3, solve_spd_gj
 
 
 def _local_blocks(pb: BAProblem, cams, pts, huber, n_cam, n_pt):
+    # One-hot MXU reductions, not segment_sum — scatter-adds serialize on
+    # TPU (see ba.bundle._solve_schur).
     r, Jc, Jp = _blocks(pb, cams, pts, huber)
-    U = jax.ops.segment_sum(
-        jnp.einsum("oai,oaj->oij", Jc, Jc), pb.obs_cam, n_cam)
-    V = jax.ops.segment_sum(
-        jnp.einsum("oai,oaj->oij", Jp, Jp), pb.obs_pt, n_pt)
-    gc = -jax.ops.segment_sum(
-        jnp.einsum("oai,oa->oi", Jc, r), pb.obs_cam, n_cam)
-    gp = -jax.ops.segment_sum(
-        jnp.einsum("oai,oa->oi", Jp, r), pb.obs_pt, n_pt)
+    onehot_c = jax.nn.one_hot(pb.obs_cam, n_cam, dtype=r.dtype)
+    onehot_p = jax.nn.one_hot(pb.obs_pt, n_pt, dtype=r.dtype)
+    U = jnp.einsum("oc,oij->cij", onehot_c,
+                   jnp.einsum("oai,oaj->oij", Jc, Jc))
+    V = jnp.einsum("op,oij->pij", onehot_p,
+                   jnp.einsum("oai,oaj->oij", Jp, Jp))
+    gc = -jnp.einsum("oc,oi->ci", onehot_c,
+                     jnp.einsum("oai,oa->oi", Jc, r))
+    gp = -jnp.einsum("op,oi->pi", onehot_p,
+                     jnp.einsum("oai,oa->oi", Jp, r))
     W = jnp.einsum("oai,oaj->oij", Jc, Jp)
     return r, W, U, V, gc, gp
 
@@ -90,10 +94,12 @@ def distributed_bundle_adjust(
                 b = b * m0[:, None]
 
             Sd = S.reshape(n_cam * 6, n_cam * 6) + 1e-8 * jnp.eye(n_cam * 6)
-            dc = jnp.linalg.solve(Sd, b.reshape(-1)).reshape(n_cam, 6)
+            # Pivot-free Gauss-Jordan (damped SPD): LU is serial on TPU.
+            dc = solve_spd_gj(Sd, b.reshape(-1)).reshape(n_cam, 6)
 
-            Wt_dc = jax.ops.segment_sum(
-                jnp.einsum("oij,oi->oj", W, dc[obs_cam]), obs_pt, n_pt)
+            Wt_dc = jnp.einsum(
+                "op,oj->pj", onehot_p,
+                jnp.einsum("oij,oi->oj", W, dc[obs_cam]))
             Wt_dc = jax.lax.psum(Wt_dc, "data")
             dp = jnp.einsum("pij,pj->pi", Vinv, gp - Wt_dc)
 

@@ -401,3 +401,19 @@ def test_refine_relative_pose_converges():
     ang = float(geodesic_distance(Rr, jnp.asarray(R_true, jnp.float32)))
     assert ang < 2e-3, ang
     assert abs(float(np.dot(np.asarray(tr), t_true))) > 0.9999
+
+
+def test_solve_spd_gj_matches_numpy():
+    """Pivot-free Gauss-Jordan on a damped SPD system (the BA Schur
+    camera solve) matches numpy's LU solve."""
+    from ransac_tpu.ops.linalg import solve_spd_gj
+
+    rng = np.random.default_rng(3)
+    for n in (6, 64, 192):
+        A = rng.normal(size=(n, n))
+        A = A @ A.T + n * np.eye(n)          # SPD, damped
+        b = rng.normal(size=n)
+        x = np.asarray(solve_spd_gj(jnp.asarray(A, jnp.float32),
+                                    jnp.asarray(b, jnp.float32)))
+        np.testing.assert_allclose(x, np.linalg.solve(A, b),
+                                   rtol=2e-3, atol=2e-4)
