@@ -67,7 +67,12 @@ def levenberg_marquardt(
 
             dx, _ = solve_unrolled(H + lam * D, -g)
         else:
-            dx = jnp.linalg.solve(H + lam * D, -g)
+            # Damped J^T J is SPD: pivot-free Gauss-Jordan fori_loop
+            # beats jnp.linalg.solve's serial LU on TPU (e.g. the
+            # pose-graph's [6V, 6V] system).
+            from ransac_tpu.ops.linalg import solve_spd_gj
+
+            dx = solve_spd_gj(H + lam * D, -g)
         x_new = x + dx
         cost_new = cost_of(x_new)
         accept = cost_new < cost
