@@ -67,8 +67,11 @@ def mutual_nn_match(d1: jnp.ndarray, d2: jnp.ndarray,
 
     best2 = jnp.argmax(sim, axis=1)                    # [K1]
     best_sim = jnp.max(sim, axis=1)
-    # Second best for the ratio test (on distance = 2 - 2*sim).
-    sim_wo_best = sim.at[jnp.arange(sim.shape[0]), best2].set(neg)
+    # Second best for the ratio test (on distance = 2 - 2*sim).  Masked
+    # via an iota compare, NOT ``.at[...].set``: XLA lowers the scatter
+    # to a serialized per-row update on TPU.
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    sim_wo_best = jnp.where(cols == best2[:, None], neg, sim)
     second_sim = jnp.max(sim_wo_best, axis=1)
     d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_sim, 0.0))
     d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second_sim, 1e-12))
