@@ -59,11 +59,16 @@ def bench_sweep(n_hyp, iters):
 
     out = step(0)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(i)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # Best of 3 repetitions: the first timed loop of a fresh process
+    # through the axon tunnel absorbs a one-time ~13-26 ms cost even
+    # after the jit warmup call (see PERF.md measurement note).
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = step(rep * iters + i)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     assert float(out[1]) >= 10, "consensus not found"
     return n_hyp / dt
 
@@ -91,11 +96,13 @@ def bench_stagewise(n_hyp, iters):
 
     out = ransac_iter(jax.random.key(0))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = ransac_iter(jax.random.key(i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = ransac_iter(jax.random.key(rep * iters + i))
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     return n_hyp / dt
 
 

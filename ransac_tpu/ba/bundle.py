@@ -3,10 +3,11 @@
 The reference's only refinement is single-pose ``cv2.solvePnPRefineLM``
 (``/root/reference/main_v1.py:508``); this module generalizes it to joint
 multi-camera/multi-point LM (BASELINE.json configs[3]): reprojection
-residuals over an observation tensor, per-block normal equations built with
-``segment_sum`` (no sparse matrices — XLA-friendly scatter/gather), the
-camera system reduced via the Schur complement and solved by Cholesky, and
-a damping schedule carried through ``lax.while_loop``.
+residuals over an observation tensor, per-block normal equations built
+with one-hot MXU contractions (no sparse matrices, no scatters — see
+``_solve_schur``), the camera system reduced via the Schur complement and
+solved by pivot-free Gauss-Jordan, and a damping schedule carried through
+``lax.while_loop``.
 
 All shapes are static: cameras [C,6], points [P,3], observations padded to
 a fixed O with a weight mask.  The same per-observation block quantities

@@ -41,7 +41,6 @@ from ransac_tpu.ops.pallas.sweep_pnp import _solve_quartic_vec
 
 BLOCK_H = 4096
 SUB = 8
-LAN = BLOCK_H // SUB
 MAX_POINTS = 512   # SMEM point table: N * 9 * 4 B (<= 18 KB)
 N_ROOTS = 4
 

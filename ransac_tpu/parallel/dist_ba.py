@@ -3,7 +3,7 @@
 The multi-chip form of ``ba.bundle`` (BASELINE.json configs[4], SURVEY.md
 §2.5): observations shard over the mesh ``data`` axis; each shard
 accumulates its local normal-equation blocks (U, V, W-cross contractions,
-gradients) with ``segment_sum``; the *reduced camera system* — the only
+gradients) with one-hot MXU contractions; the *reduced camera system* — the only
 globally-coupled piece — is combined with ``psum`` over the axis and solved
 redundantly on every shard (it is tiny: [6C, 6C]).  Point updates stay
 shard-local aside from the psum'd V/g_p blocks.  No NCCL, no MPI: XLA
