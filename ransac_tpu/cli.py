@@ -383,6 +383,48 @@ def _cmd_profile(args):
                  flops=1024 * 1024 * 400, bytes_moved=1024 * 1024 * 4 * 6,
                  vary=lambda i: (imgs[i % len(imgs)],))
 
+    # Whole two-view frame step as ONE jitted program (BASELINE.md
+    # "frames/s at 1 chip"): detect -> describe -> match -> essential
+    # RANSAC -> pose recovery + LM polish.
+    if platform == "tpu":
+        from ransac_tpu.features.detect import detect_harris
+        from ransac_tpu.features.match import (mutual_nn_match,
+                                               patch_descriptors)
+        from ransac_tpu.models import ransac as ransac_mod
+        from ransac_tpu.ops import epipolar
+        from ransac_tpu.ops import projection as oproj
+        from ransac_tpu.utils.config import RansacConfig
+
+        Kc = jnp.asarray([[600.0, 0, 512], [0, 600.0, 512], [0, 0, 1.0]],
+                         jnp.float32)
+        e_cfg = RansacConfig(threshold=(2.0 / 600.0) ** 2,
+                             num_hypotheses=4096, exhaustive=False)
+
+        @jax.jit
+        def twoview_frame(img1, img2, seed):
+            kp1 = detect_harris(img1, 512)
+            kp2 = detect_harris(img2, 512)
+            d1 = patch_descriptors(img1, kp1.xy, kp1.valid)
+            d2 = patch_descriptors(img2, kp2.xy, kp2.valid)
+            m = mutual_nn_match(d1, d2, kp1.valid, kp2.valid)
+            x1 = oproj.normalize_pixels(kp1.xy[m.idx1], Kc)
+            x2 = oproj.normalize_pixels(kp2.xy[m.idx2], Kc)
+            mask = m.valid.astype(jnp.float32)
+            res = ransac_mod.ransac_essential_sweep(x1, x2, mask, e_cfg,
+                                                    seed)
+            inl_w = res.inlier_mask.astype(jnp.float32)
+            R0, t0, _, _ = epipolar.recover_pose(res.model, x1, x2, inl_w)
+            R, t, _ = epipolar.refine_relative_pose(R0, t0, x1, x2, inl_w)
+            return R, t, res.num_inliers
+
+        prof.measure(
+            "twoview_frame_1024", twoview_frame, imgs[0], imgs[1], 0,
+            flops=2 * 1024 * 1024 * 400 + 4096 * 5200,
+            bytes_moved=2 * 1024 * 1024 * 4 * 6,
+            vary=lambda i: (imgs[i % 11], imgs[(i + 1) % 11], i))
+        r = prof.reports[-1]
+        print(f"# twoview frames/s (1 chip): {1.0 / r.seconds:.1f}")
+
     print(prof.table())
     if args.out:
         import json as jsonmod
