@@ -361,27 +361,34 @@ def _cmd_profile(args):
     # mutual-NN over descriptor matmuls — MXU work.
     from ransac_tpu.features.match import mutual_nn_match
 
+    # Inputs are generated ON DEVICE from the vary seed: every timed call
+    # sees a unique input with zero host transfer (identical inputs can
+    # be served from a tunnel-side result cache — PERF.md note).
     B, Kp, D = 16, 1024, 64
-    descs = [(jnp.asarray(rng.normal(size=(B, Kp, D)).astype(np.float32)),
-              jnp.asarray(rng.normal(size=(B, Kp, D)).astype(np.float32)))
-             for _ in range(11)]
     valid = jnp.ones((B, Kp), bool)
 
-    def match(d1, d2):
-        return jax.vmap(mutual_nn_match)(
-            d1, d2, valid, valid)
+    @jax.jit
+    def match(seed):
+        k1, k2 = jax.random.split(jax.random.key(seed))
+        d1 = jax.random.normal(k1, (B, Kp, D), jnp.float32)
+        d2 = jax.random.normal(k2, (B, Kp, D), jnp.float32)
+        return jax.vmap(mutual_nn_match)(d1, d2, valid, valid)
 
-    prof.measure("mutual_nn_match", jax.jit(match), *descs[0],
+    prof.measure("mutual_nn_match", match, 0,
                  flops=B * 2 * Kp * Kp * D, bytes_moved=B * 2 * Kp * D * 4,
-                 vary=lambda i: descs[i % len(descs)])
+                 vary=lambda i: (i,))
 
     from ransac_tpu.features.detect import harris_response
 
-    imgs = [jnp.asarray(rng.random((1024, 1024)).astype(np.float32))
-            for _ in range(11)]
-    prof.measure("harris_response_1024", jax.jit(harris_response), imgs[0],
+    @jax.jit
+    def harris_seeded(seed):
+        img = jax.random.uniform(jax.random.key(seed), (1024, 1024),
+                                 jnp.float32)
+        return harris_response(img)
+
+    prof.measure("harris_response_1024", harris_seeded, 0,
                  flops=1024 * 1024 * 400, bytes_moved=1024 * 1024 * 4 * 6,
-                 vary=lambda i: (imgs[i % len(imgs)],))
+                 vary=lambda i: (i,))
 
     # Whole two-view frame step as ONE jitted program (BASELINE.md
     # "frames/s at 1 chip"): detect -> describe -> match -> essential
@@ -401,7 +408,10 @@ def _cmd_profile(args):
                              num_hypotheses=4096, exhaustive=False)
 
         @jax.jit
-        def twoview_frame(img1, img2, seed):
+        def twoview_frame(seed):
+            ki1, ki2 = jax.random.split(jax.random.key(seed))
+            img1 = jax.random.uniform(ki1, (1024, 1024), jnp.float32)
+            img2 = jax.random.uniform(ki2, (1024, 1024), jnp.float32)
             kp1 = detect_harris(img1, 512)
             kp2 = detect_harris(img2, 512)
             d1 = patch_descriptors(img1, kp1.xy, kp1.valid)
@@ -418,10 +428,10 @@ def _cmd_profile(args):
             return R, t, res.num_inliers
 
         prof.measure(
-            "twoview_frame_1024", twoview_frame, imgs[0], imgs[1], 0,
+            "twoview_frame_1024", twoview_frame, 0,
             flops=2 * 1024 * 1024 * 400 + 4096 * 5200,
             bytes_moved=2 * 1024 * 1024 * 4 * 6,
-            vary=lambda i: (imgs[i % 11], imgs[(i + 1) % 11], i))
+            vary=lambda i: (i,))
         r = prof.reports[-1]
         print(f"# twoview frames/s (1 chip): {1.0 / r.seconds:.1f}")
 

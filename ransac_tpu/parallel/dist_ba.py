@@ -38,7 +38,7 @@ def _local_blocks(pb: BAProblem, cams, pts, huber, n_cam, n_pt):
     gp = -jnp.einsum("op,oi->pi", onehot_p,
                      jnp.einsum("oai,oa->oi", Jp, r))
     W = jnp.einsum("oai,oaj->oij", Jc, Jp)
-    return r, W, U, V, gc, gp
+    return r, W, U, V, gc, gp, onehot_c, onehot_p
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_iters", "huber_scale",
@@ -60,7 +60,7 @@ def distributed_bundle_adjust(
         def one_iter(state, _):
             cams, pts, lam, cost = state
             pb = BAProblem(cams, pts, p.K, obs_cam, obs_pt, obs_uv, obs_w)
-            r, W, U, V, gc, gp = _local_blocks(
+            r, W, U, V, gc, gp, onehot_c, onehot_p = _local_blocks(
                 pb, cams, pts, huber_scale, n_cam, n_pt)
 
             # Global block reduction over observation shards (ICI psum).
@@ -76,8 +76,6 @@ def distributed_bundle_adjust(
             Vinv = inv3x3(Vd, eps=1e-9)
 
             Y = W @ Vinv[obs_pt]
-            onehot_c = jax.nn.one_hot(obs_cam, n_cam, dtype=r.dtype)
-            onehot_p = jax.nn.one_hot(obs_pt, n_pt, dtype=r.dtype)
             By = jnp.einsum("oc,op,oij->cpij", onehot_c, onehot_p, Y)
             Bw = jnp.einsum("oc,op,oij->cpij", onehot_c, onehot_p, W)
             # Shard-local cross blocks; psum completes the global sums.
