@@ -245,27 +245,31 @@ def _make_kernel(n_score: int, block_h: int):
         F = [f * finv for f in F]
 
         # Sampson score over the full SMEM table: rows (u1, v1, u2, v2, w).
+        # Two points per trip for ILP (padded rows carry w=0).
         def sbody(n, carry):
             count, msac = carry
-            a = pts_ref[n, 0]
-            b = pts_ref[n, 1]
-            c = pts_ref[n, 2]
-            d = pts_ref[n, 3]
-            wp = pts_ref[n, 4]
-            Fx1_0 = F[0] * a + F[1] * b + F[2]
-            Fx1_1 = F[3] * a + F[4] * b + F[5]
-            Fx1_2 = F[6] * a + F[7] * b + F[8]
-            Ftx2_0 = F[0] * c + F[3] * d + F[6]
-            Ftx2_1 = F[1] * c + F[4] * d + F[7]
-            x2Fx1 = c * Fx1_0 + d * Fx1_1 + Fx1_2
-            denom = (Fx1_0 * Fx1_0 + Fx1_1 * Fx1_1
-                     + Ftx2_0 * Ftx2_0 + Ftx2_1 * Ftx2_1)
-            e = (x2Fx1 * x2Fx1) / jnp.maximum(denom, 1e-12)
-            count = count + jnp.where(e <= thr_sq, wp, 0.0)
-            msac = msac + jnp.minimum(e, thr_sq) * wp
+            for half in (0, 1):
+                row = 2 * n + half
+                a = pts_ref[row, 0]
+                b = pts_ref[row, 1]
+                c = pts_ref[row, 2]
+                d = pts_ref[row, 3]
+                wp = pts_ref[row, 4]
+                Fx1_0 = F[0] * a + F[1] * b + F[2]
+                Fx1_1 = F[3] * a + F[4] * b + F[5]
+                Fx1_2 = F[6] * a + F[7] * b + F[8]
+                Ftx2_0 = F[0] * c + F[3] * d + F[6]
+                Ftx2_1 = F[1] * c + F[4] * d + F[7]
+                x2Fx1 = c * Fx1_0 + d * Fx1_1 + Fx1_2
+                denom = (Fx1_0 * Fx1_0 + Fx1_1 * Fx1_1
+                         + Ftx2_0 * Ftx2_0 + Ftx2_1 * Ftx2_1)
+                e = (x2Fx1 * x2Fx1) / jnp.maximum(denom, 1e-12)
+                count = count + jnp.where(e <= thr_sq, wp, 0.0)
+                msac = msac + jnp.minimum(e, thr_sq) * wp
             return count, msac
 
-        count, msac = jax.lax.fori_loop(0, n_score, sbody, (zero, zero))
+        count, msac = jax.lax.fori_loop(0, (n_score + 1) // 2, sbody,
+                                        (zero, zero))
 
         big = jnp.float32(3.4e38)
         msac = jnp.where(valid, msac, big)
@@ -333,6 +337,8 @@ def essential_ransac_sweep_large(
 
     pts = jnp.concatenate(
         [x1_n, x2_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
+    if n % 2:  # pad to even rows for the 2-point-unrolled score loop
+        pts = jnp.concatenate([pts, jnp.zeros((1, 5), jnp.float32)])
     seeds = _draw_seeds_n(seed, 8)
 
     fout, iout = pl.pallas_call(

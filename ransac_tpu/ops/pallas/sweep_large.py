@@ -187,25 +187,29 @@ def _make_kernel(n_score: int):
                                 + B[r][2] * adjA[2][c])
 
         # Score the full SMEM point table: rows are (x, y, px, py, w).
+        # Two points per trip for ILP (padded rows carry w=0).
         def sbody(n, carry):
             count, msac = carry
-            x = pts_ref[n, 0]
-            y = pts_ref[n, 1]
-            px = pts_ref[n, 2]
-            py = pts_ref[n, 3]
-            w_pt = pts_ref[n, 4]
-            u = H[0] * x + H[1] * y + H[2]
-            v = H[3] * x + H[4] * y + H[5]
-            w = H[6] * x + H[7] * y + H[8]
-            inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-            du = u * inv_w - px
-            dv = v * inv_w - py
-            e2 = du * du + dv * dv
-            count = count + jnp.where(e2 <= thr_sq, w_pt, 0.0)
-            msac = msac + jnp.minimum(e2, thr_sq) * w_pt
+            for half in (0, 1):
+                row = 2 * n + half
+                x = pts_ref[row, 0]
+                y = pts_ref[row, 1]
+                px = pts_ref[row, 2]
+                py = pts_ref[row, 3]
+                w_pt = pts_ref[row, 4]
+                u = H[0] * x + H[1] * y + H[2]
+                v = H[3] * x + H[4] * y + H[5]
+                w = H[6] * x + H[7] * y + H[8]
+                inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+                du = u * inv_w - px
+                dv = v * inv_w - py
+                e2 = du * du + dv * dv
+                count = count + jnp.where(e2 <= thr_sq, w_pt, 0.0)
+                msac = msac + jnp.minimum(e2, thr_sq) * w_pt
             return count, msac
 
-        count, msac = jax.lax.fori_loop(0, n_score, sbody, (zero, zero))
+        count, msac = jax.lax.fori_loop(0, (n_score + 1) // 2, sbody,
+                                        (zero, zero))
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         count = jnp.where(valid, count, -1.0)
@@ -277,6 +281,8 @@ def homography_ransac_sweep_large(
 
     pts = jnp.concatenate(
         [src_n, dst_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
+    if n % 2:  # pad to even rows for the 2-point-unrolled score loop
+        pts = jnp.concatenate([pts, jnp.zeros((1, 5), jnp.float32)])
     seeds = _draw_seeds(seed)
 
     fbest, ibest = pl.pallas_call(
