@@ -142,3 +142,49 @@ def test_incremental_sfm_checkpoint_resume(tmp_path):
     assert len(m2.camera_poses) == 6
     # Frames registered before the resume exist and the map grew.
     assert len(m2.points) >= len(m1.points)
+
+
+def test_twoview_frame_fully_jittable():
+    """The whole two-view frame (detect -> describe -> match -> essential
+    sweep -> pose recovery -> LM polish) composes into ONE jit program —
+    the cli profile 'twoview_frame' / frames-per-second path."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.ndimage as ndi
+
+    from ransac_tpu.features.detect import detect_harris
+    from ransac_tpu.features.match import mutual_nn_match, patch_descriptors
+    from ransac_tpu.models import ransac as ransac_mod
+    from ransac_tpu.ops import epipolar
+    from ransac_tpu.ops import projection as oproj
+    from ransac_tpu.utils.config import RansacConfig
+
+    rng = np.random.default_rng(0)
+    img1 = ndi.gaussian_filter(rng.random((256, 256)).astype(np.float32),
+                               1.2)
+    img2 = np.roll(img1, (3, 5), axis=(0, 1))
+    Kc = jnp.asarray([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1.0]],
+                     jnp.float32)
+    e_cfg = RansacConfig(threshold=(2.0 / 200.0) ** 2, num_hypotheses=512,
+                         exhaustive=False)
+
+    @jax.jit
+    def frame(i1, i2, seed):
+        kp1 = detect_harris(i1, 128)
+        kp2 = detect_harris(i2, 128)
+        d1 = patch_descriptors(i1, kp1.xy, kp1.valid)
+        d2 = patch_descriptors(i2, kp2.xy, kp2.valid)
+        m = mutual_nn_match(d1, d2, kp1.valid, kp2.valid)
+        x1 = oproj.normalize_pixels(kp1.xy[m.idx1], Kc)
+        x2 = oproj.normalize_pixels(kp2.xy[m.idx2], Kc)
+        res = ransac_mod.ransac_essential_sweep(
+            x1, x2, m.valid.astype(jnp.float32), e_cfg, seed,
+            interpret=True)
+        inl_w = res.inlier_mask.astype(jnp.float32)
+        R0, t0, _, _ = epipolar.recover_pose(res.model, x1, x2, inl_w)
+        R, t, _ = epipolar.refine_relative_pose(R0, t0, x1, x2, inl_w)
+        return R, t, res.num_inliers
+
+    R, t, ni = frame(jnp.asarray(img1), jnp.asarray(img2), 0)
+    assert np.all(np.isfinite(np.asarray(R)))
+    assert int(ni) >= 30, int(ni)
