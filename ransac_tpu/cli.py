@@ -66,9 +66,43 @@ def _cmd_localize(args):
             from PIL import Image
 
             img = np.asarray(Image.open(args.image))
-        export_best_candidate_report(scene, res, args.output, image=img)
+        # Full table incl. (0,0)-pixel rows: unannotated landmarks are
+        # forward-projected into the report (main_v1.py:367-383).
+        feats_all = read_points_data(
+            args.features, args.pixel_x, args.pixel_y, scale=args.scale,
+            z_mode=args.z_mode, keep_unannotated=True)
+        export_best_candidate_report(scene, res, args.output, image=img,
+                                     all_features=feats_all)
         print(f"wrote accuracies/correlations CSVs + diagnostic PNGs for "
               f"{args.output}")
+
+    if args.viz_pass is not None and args.output:
+        # test02.py:468 second pass: re-run the search at a tight
+        # ransacbound (5.0 there) and emit the pandas-style dashboards
+        # (visualize_accuracies / visualize_correlations /
+        # visualize_camera_locations, test02.py:160-203).
+        from ransac_tpu import viz
+        from ransac_tpu.pipelines.localize import (
+            export_best_candidate_report, localize as _localize)
+
+        cfg_viz = LocalizeConfig(
+            ransac=RansacConfig(threshold=args.viz_pass),
+            grid_code_min=args.grid_code_min,
+            min_pnp_inliers=args.min_pnp_inliers)
+        res_viz = _localize(scene, (args.width, args.height), cfg_viz,
+                            seed=args.seed, use_sweep=args.sweep)
+        base = args.output.replace(".jpg", "") + "_viz"
+        write_location_csv(base + "_location.csv", res_viz.scores_rows)
+        acc_rows, corr_rows = export_best_candidate_report(
+            scene, res_viz, base + ".jpg", make_plots=False)
+        viz.plot_accuracies(acc_rows, save_to=base + "_accuracies.png")
+        viz.plot_correlation_heatmap(corr_rows,
+                                     save_to=base + "_correlations.png")
+        viz.plot_camera_location_scores(res_viz.scores_rows,
+                                        zone=scene.frame.zone,
+                                        save_to=base + "_locations.png")
+        print(f"wrote tight-threshold viz pass (ransacbound="
+              f"{args.viz_pass}) artifacts at {base}_*")
 
     if args.dem and res.camera_origin_utm is not None:
         from ransac_tpu.io.dem import load_geotiff, resample_to_utm
@@ -164,6 +198,7 @@ def _cmd_run(args):
             min_pnp_inliers=int(job.get("min_pnp_inliers", 6)),
             sweep=bool(job.get("sweep", False)),
             report=bool(job.get("report", False)),
+            viz_pass=job.get("viz_pass", None),
             image=job.get("image_name", ""), interactive=False)
         _cmd_localize(ns)
 
@@ -481,6 +516,10 @@ def main(argv=None):
                    help="REPL for pixel->geo queries (needs --dem)")
     p.add_argument("--report", action="store_true",
                    help="write accuracies/correlations CSVs + plots")
+    p.add_argument("--viz-pass", dest="viz_pass", type=float, default=None,
+                   help="re-run the search at this tight ransacbound and "
+                        "emit the pandas-style dashboards "
+                        "(test02.py:468 uses 5.0)")
     p.add_argument("--image", default="", help="image path for the report")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_localize)

@@ -289,17 +289,22 @@ def ransac_homography_sweep_large(
 # --------------------------------------------------------------------------
 # PnP
 # --------------------------------------------------------------------------
-def _pnp_residual(model, X, pix_n):
-    """model = [12]: flattened R (9) + t (3); residual in normalized-coord
-    units times nothing — callers pre-scale the threshold.  Points behind
-    the camera get +inf residual (cheirality)."""
+def _pnp_residual(model, X, pix_n, ay=1.0):
+    """model = [12]: flattened R (9) + t (3); residual in fx-normalized
+    units: ``err * fx`` is the exact PIXEL reprojection error when the
+    y-component is scaled by ``ay = fy / fx`` (anisotropy).  Callers divide
+    the pixel threshold by fx, making the bound pixel-true even for the
+    reference's fx/fy = 1.85 camera (main_v1.py:869-883; cv2.solvePnPRansac
+    thresholds in pixels, main_v1.py:497-502).  Points behind the camera
+    get +inf residual (cheirality)."""
     R = model[:9].reshape(3, 3)
     t = model[9:12]
     Xc = X @ R.T + t
     z = Xc[:, 2]
     good_z = z > 1e-6
     uv = Xc[:, :2] / jnp.where(good_z, z, 1.0)[:, None]
-    err = jnp.linalg.norm(uv - pix_n, axis=-1)
+    d = uv - pix_n
+    err = jnp.sqrt(d[:, 0] ** 2 + (ay * d[:, 1]) ** 2)
     return jnp.where(good_z, err, jnp.inf)
 
 
@@ -311,40 +316,95 @@ def _pnp_solve(Xs, xs):
     return model, valid
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _epnp_solve(Xs, xs):
+    """EPnP (ops.pnp.epnp) as a 6-point minimal solver: 2 beta-case
+    candidates per sample flatten into the hypothesis axis.  Engine-path
+    only (the eigh inside EPnP does not belong in a Pallas sweep; P3P
+    remains the fused hot path)."""
+    R, t, valid = pnp.epnp(Xs, xs)  # [2,3,3], [2,3], [2]
+    model = jnp.concatenate(
+        [R.reshape(2, 9), t.reshape(2, 3)], axis=-1)  # [2,12]
+    valid = valid & jnp.all(jnp.isfinite(model), axis=-1)
+    return model, valid
+
+
+def _pnp_msac(model, Xw, pix_n, point_mask, thr_n, ay):
+    r = _pnp_residual(model, Xw, pix_n, ay=ay)
+    r_sq = jnp.where(jnp.isfinite(r), r * r, jnp.inf)
+    thr_sq = thr_n * thr_n
+    ok = jnp.all(jnp.isfinite(model))
+    w = point_mask.astype(r_sq.dtype)
+    return jnp.where(ok, (jnp.minimum(r_sq, thr_sq) * w).sum(), jnp.inf)
+
+
+def _pnp_refit_seed(R_best, t_best, Xw, pix_n, w, point_mask, thr_n, ay):
+    """LM seed for the PnP refit: best of {raw winner, DLT-PnP, EPnP
+    case-1/2 on the inlier set} by truncated-MSAC — the cv2-style
+    large-inlier refit with EPnP wired in (VERDICT r1 item 9)."""
+    raw = jnp.concatenate([R_best.reshape(9), t_best])
+    R_dlt, t_dlt = pnp.dlt_pnp(Xw, pix_n, w)
+    dlt = jnp.concatenate([R_dlt.reshape(9), t_dlt])
+    R_ep, t_ep, v_ep = pnp.epnp(Xw, pix_n, w)  # [2,...]
+    ep = jnp.concatenate([R_ep.reshape(2, 9), t_ep], axis=-1)
+    cands = jnp.stack([raw, dlt, ep[0], ep[1]])  # [4,12]
+    # DLT needs >=6 points; EPnP >=4 — gate linear seeds below that.
+    n_inl = (w > 0).sum()
+    gate = jnp.stack([
+        jnp.asarray(True),
+        n_inl >= 6,
+        v_ep[0] & (n_inl >= 4),
+        v_ep[1] & (n_inl >= 4),
+    ])
+    scores = jax.vmap(
+        lambda m: _pnp_msac(m, Xw, pix_n, point_mask, thr_n, ay))(cands)
+    scores = jnp.where(gate, scores, jnp.inf)
+    seed = cands[jnp.argmin(scores)]
+    return seed[:9].reshape(3, 3), seed[9:12]
+
+
+def _pnp_threshold_scales(K, dtype):
+    """(thr_scale, ay): divide the pixel threshold by ``thr_scale`` (= fx)
+    and scale y-residuals by ``ay`` (= fy/fx) so thresholding happens in
+    true pixel units under anisotropic K (traced — no recompile per K)."""
+    K = jnp.asarray(K)
+    fx = K[0, 0].astype(dtype)
+    fy = K[1, 1].astype(dtype)
+    return fx, fy / fx
+
+
+@partial(jax.jit, static_argnames=("cfg", "solver"))
 def ransac_pnp(
     Xw: jnp.ndarray, pixels: jnp.ndarray, K: jnp.ndarray,
     point_mask: jnp.ndarray, cfg: RansacConfig, key: jax.Array,
-    focal_px=1.0,
+    solver: str = "p3p",
 ) -> RansacResult:
-    """``cv2.solvePnPRansac`` equivalent over a P3P hypothesis tensor.
+    """``cv2.solvePnPRansac`` equivalent over a minimal-solver hypothesis
+    tensor.  ``solver``: "p3p" (Grunert, 3-pt minimal, up to 4 roots) or
+    "epnp" (Lepetit, 6-pt samples, 2 beta-case candidates) — mirroring
+    cv2's SOLVEPNP_P3P / SOLVEPNP_EPNP flags.
 
     ``cfg.threshold`` is in pixels (30.0 in the reference, main_v1.py:500);
-    residuals are computed in normalized coordinates, so the threshold is
-    divided by ``focal_px`` (mean focal, traced — no recompile per K) —
-    identical semantics for square-ish pixels.  Refit: DLT-PnP + LM on
-    inliers (= solvePnPRefineLM, main_v1.py:508).
+    residuals are computed in fx-normalized coordinates with the
+    y-component scaled by fy/fx, so the bound is pixel-TRUE even for
+    anisotropic K (the reference camera has fx/fy = 1.85,
+    main_v1.py:869-883).  Refit: best of {DLT-PnP, EPnP, raw winner} on
+    the inlier set as the LM seed (= solvePnPRefineLM, main_v1.py:508).
     """
     pix_n = projection.normalize_pixels(pixels, K)
-    thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
+    fx, ay = _pnp_threshold_scales(K, pix_n.dtype)
+    thr_n = cfg.threshold / fx
+    solve_fn, k = {"p3p": (_pnp_solve, 3), "epnp": (_epnp_solve, 6)}[solver]
     flat, valid, counts, msac, best, best_mask = ransac_fit(
-        _pnp_solve, _pnp_residual, Xw, pix_n, point_mask, 3, cfg, key,
-        threshold=thr_n)
+        solve_fn, partial(_pnp_residual, ay=ay), Xw, pix_n, point_mask,
+        k, cfg, key, threshold=thr_n)
     model_best = flat[best]
     R_best = model_best[:9].reshape(3, 3)
     t_best = model_best[9:12]
     R_ref, t_ref = R_best, t_best
     if cfg.refit:
         w = best_mask.astype(Xw.dtype)
-        # Linear DLT-PnP refit on the inlier set (>=6 effective points),
-        # then LM — the documented cv2-style refit.  Falls back to the raw
-        # P3P winner as the LM seed when the inlier set is too small or
-        # the linear solve degenerates.
-        R_dlt, t_dlt = pnp.dlt_pnp(Xw, pix_n, w)
-        dlt_ok = ((best_mask.sum() >= 6)
-                  & jnp.all(jnp.isfinite(R_dlt)) & jnp.all(jnp.isfinite(t_dlt)))
-        R_seed = jnp.where(dlt_ok, R_dlt, R_best)
-        t_seed = jnp.where(dlt_ok, t_dlt, t_best)
+        R_seed, t_seed = _pnp_refit_seed(
+            R_best, t_best, Xw, pix_n, w, point_mask, thr_n, ay)
         rvec, tvec, _ = refine_pose(
             log_so3(R_seed), t_seed, Xw, pixels, K, w,
             max_iters=max(cfg.refine_iters, 1))
@@ -362,15 +422,16 @@ def ransac_pnp(
 def ransac_pnp_sweep(
     Xw: jnp.ndarray, pixels: jnp.ndarray, K: jnp.ndarray,
     point_mask: jnp.ndarray, cfg: RansacConfig, key_or_seed,
-    focal_px: float = 1.0, interpret: bool = False,
+    interpret: bool = False,
 ) -> RansacResult:
     """PnP RANSAC through the fused P3P Pallas sweep (ops.pallas.sweep_pnp)
     — the high-throughput path (measured 3.2B pose-hypotheses/s/chip).
 
     The winning 3-point sample is re-solved exactly on the engine path and
-    LM-refined on its inliers, matching ``ransac_pnp`` semantics.  Pools
-    larger than the packed-index kernel's 16 points route to the
-    counter-replay large-N sweep (``ransac_pnp_sweep_large``).
+    LM-refined on its inliers, matching ``ransac_pnp`` semantics (incl.
+    the pixel-true anisotropic threshold).  Pools larger than the
+    packed-index kernel's 16 points route to the counter-replay large-N
+    sweep (``ransac_pnp_sweep_large``).
     """
     from ransac_tpu.ops.pallas.sweep_pnp import (BLOCK_H, MAX_POINTS,
                                                  pnp_ransac_sweep)
@@ -378,10 +439,11 @@ def ransac_pnp_sweep(
     if Xw.shape[0] > MAX_POINTS:
         return ransac_pnp_sweep_large(
             Xw, pixels, K, point_mask, cfg, key_or_seed,
-            focal_px=focal_px, interpret=interpret)
+            interpret=interpret)
 
     pix_n = projection.normalize_pixels(pixels, K)
-    thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
+    fx, ay = _pnp_threshold_scales(K, pix_n.dtype)
+    thr_n = cfg.threshold / fx
     # Round up to a whole number of kernel blocks; small requests use a
     # single smaller block rather than padding to the full BLOCK_H.
     n_hyp = max(cfg.num_hypotheses, 1024)
@@ -394,7 +456,7 @@ def ransac_pnp_sweep(
     # the host re-solve scores all four roots below).
     msac_all, counts_all, packed_all = pnp_ransac_sweep(
         _as_seed(key_or_seed), Xw, pix_n, point_mask, thr_n, n_hyp=n_hyp,
-        interpret=interpret, block_h=block)
+        interpret=interpret, block_h=block, ay=ay)
     row = 1 if cfg.selection == "count" else 0
     msac_all, counts_all, packed_all = (
         msac_all[row], counts_all[row], packed_all[row])
@@ -403,7 +465,7 @@ def ransac_pnp_sweep(
     sample = jnp.stack([packed & 15, (packed >> 4) & 15, (packed >> 8) & 15])
     R4, t4, v4 = pnp.p3p_grunert(Xw[sample], pix_n[sample])
     models4 = jnp.concatenate([R4.reshape(4, 9), t4], axis=-1)
-    r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n))(models4)
+    r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n, ay=ay))(models4)
     r4_sq = jnp.where(jnp.isfinite(r4), r4 * r4, jnp.inf)
     inl4 = (r4_sq <= thr_n * thr_n) & point_mask.astype(bool)[None, :]
     msac4 = jnp.where(
@@ -418,8 +480,10 @@ def ransac_pnp_sweep(
     R_ref, t_ref = R_best, t_best
     if cfg.refit:
         w = best_mask.astype(Xw.dtype)
+        R_seed, t_seed = _pnp_refit_seed(
+            R_best, t_best, Xw, pix_n, w, point_mask, thr_n, ay)
         rvec, tvec, _ = refine_pose(
-            log_so3(R_best), t_best, Xw, pixels, K, w,
+            log_so3(R_seed), t_seed, Xw, pixels, K, w,
             max_iters=max(cfg.refine_iters, 1))
         ok = jnp.all(jnp.isfinite(rvec)) & jnp.all(jnp.isfinite(tvec))
         R_ref = jnp.where(ok, exp_so3(rvec), R_best)
@@ -434,7 +498,7 @@ def ransac_pnp_sweep(
 def ransac_pnp_sweep_large(
     Xw: jnp.ndarray, pixels: jnp.ndarray, K: jnp.ndarray,
     point_mask: jnp.ndarray, cfg: RansacConfig, key_or_seed,
-    focal_px: float = 1.0, interpret: bool = False,
+    interpret: bool = False,
 ) -> RansacResult:
     """PnP RANSAC through the large-N fused P3P sweep
     (ops.pallas.sweep_pnp_large) — fused pose path for pools of up to 512
@@ -449,12 +513,13 @@ def ransac_pnp_sweep_large(
         BLOCK_H, pnp_ransac_sweep_large as _sweep, sample_indices3_for)
 
     pix_n = projection.normalize_pixels(pixels, K)
-    thr_n = cfg.threshold / jnp.asarray(focal_px, pix_n.dtype)
+    fx, ay = _pnp_threshold_scales(K, pix_n.dtype)
+    thr_n = cfg.threshold / fx
     n_hyp = max(cfg.num_hypotheses, BLOCK_H)
     n_hyp = -(-n_hyp // BLOCK_H) * BLOCK_H
     msac_all, counts_all, packed_all, (seeds, n_valid, order) = _sweep(
         _as_seed(key_or_seed), Xw, pix_n, point_mask, thr_n, n_hyp=n_hyp,
-        interpret=interpret)
+        interpret=interpret, ay=ay)
     row = 1 if cfg.selection == "count" else 0
     msac_all, counts_all, packed_all = (
         msac_all[row], counts_all[row], packed_all[row])
@@ -466,7 +531,7 @@ def ransac_pnp_sweep_large(
     sample = order[pool]
     R4, t4, v4 = pnp.p3p_grunert(Xw[sample], pix_n[sample])
     models4 = jnp.concatenate([R4.reshape(4, 9), t4], axis=-1)
-    r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n))(models4)
+    r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n, ay=ay))(models4)
     r4_sq = jnp.where(jnp.isfinite(r4), r4 * r4, jnp.inf)
     inl4 = (r4_sq <= thr_n * thr_n) & point_mask.astype(bool)[None, :]
     msac4 = jnp.where(
@@ -481,12 +546,8 @@ def ransac_pnp_sweep_large(
     R_ref, t_ref = R_best, t_best
     if cfg.refit:
         w = best_mask.astype(Xw.dtype)
-        R_dlt, t_dlt = pnp.dlt_pnp(Xw, pix_n, w)
-        dlt_ok = ((best_mask.sum() >= 6)
-                  & jnp.all(jnp.isfinite(R_dlt))
-                  & jnp.all(jnp.isfinite(t_dlt)))
-        R_seed = jnp.where(dlt_ok, R_dlt, R_best)
-        t_seed = jnp.where(dlt_ok, t_dlt, t_best)
+        R_seed, t_seed = _pnp_refit_seed(
+            R_best, t_best, Xw, pix_n, w, point_mask, thr_n, ay)
         rvec, tvec, _ = refine_pose(
             log_so3(R_seed), t_seed, Xw, pixels, K, w,
             max_iters=max(cfg.refine_iters, 1))

@@ -115,6 +115,11 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
     def kernel(X_ref, f_ref, pix_ref, mask_ref, thr_ref, seed_ref,
                vmask_ref, fout_ref, iout_ref):
         thr_sq = thr_ref[0]
+        # Anisotropy ay = fy/fx: the caller pre-scales the pool's py by ay
+        # and the pose's y-row is scaled here, so du^2 + dv^2 is the TRUE
+        # pixel error divided by fx (pixel-true threshold under
+        # anisotropic K; cv2.solvePnPRansac semantics, main_v1.py:497-502).
+        ay = thr_ref[1]
         # Counter-based PRNG: flat hypothesis index hashed with 3
         # pre-mixed per-draw seeds.  No random bits cross HBM.
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
@@ -279,7 +284,12 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
             t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
                            + R[r][2] * cw[2]) for r in range(3)]
 
-            # Score all points in normalized coords.
+            # Pixel-true anisotropic scoring: scale the pose's y-row once
+            # per root (pool py is pre-scaled by ay host-side).
+            Ry = [R[1][c] * ay for c in range(3)]
+            ty = t[1] * ay
+
+            # Score all points in fx-normalized pixel-true units.
             count = jnp.zeros((SUB, LAN), jnp.float32)
             msac = jnp.zeros((SUB, LAN), jnp.float32)
             far = jnp.float32(1e12)
@@ -291,7 +301,7 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
                 py = pix_ref[nn, 1]
                 wp = mask_ref[nn]
                 xc = R[0][0] * Xx + R[0][1] * Xy + R[0][2] * Xz + t[0]
-                yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
+                yc = Ry[0] * Xx + Ry[1] * Xy + Ry[2] * Xz + ty
                 zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
                 behind = zc <= 1e-6
                 inv_z = 1.0 / jnp.where(behind, 1.0, zc)
@@ -358,7 +368,7 @@ def pnp_ransac_sweep(
     seed, Xw: jnp.ndarray, pix_n: jnp.ndarray, point_mask: jnp.ndarray,
     threshold_n, n_hyp: int, n_points: int | None = None,
     interpret: bool = False, full_records: bool = False,
-    block_h: int | None = None,
+    block_h: int | None = None, ay=1.0,
 ):
     """Fused P3P sweep on normalized coords.
 
@@ -372,7 +382,9 @@ def pnp_ransac_sweep(
     ``full_records=True``: per-(hypothesis, root) ``(msac [4H], counts
     [4H], packed [4H])`` flattened root-major — for tests/inspection.
 
-    ``threshold_n`` is in normalized units (pixel_threshold / focal).
+    ``threshold_n`` is in fx-normalized units (pixel_threshold / fx);
+    ``ay = fy / fx`` scales y-residuals so the bound is pixel-true under
+    anisotropic K (traced — no recompile per K).
     """
     n = Xw.shape[0]
     if n_points is None:
@@ -388,12 +400,14 @@ def pnp_ransac_sweep(
     f = jnp.concatenate([pix_n, ones], -1)
     f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
+    ay_f = jnp.asarray(ay, jnp.float32)
+    pix_s = pix_n * jnp.stack([jnp.float32(1.0), ay_f])  # py pre-scaled
     X_p = jnp.zeros((MAX_POINTS, 3), jnp.float32).at[:n].set(Xw)
     f_p = jnp.zeros((MAX_POINTS, 3), jnp.float32).at[:n].set(f)
-    pix_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(pix_n)
+    pix_p = jnp.zeros((MAX_POINTS, 2), jnp.float32).at[:n].set(pix_s)
     mask_p = jnp.zeros((MAX_POINTS,), jnp.float32).at[:n].set(
         point_mask.astype(jnp.float32))
-    thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
+    thr = jnp.stack([jnp.asarray(threshold_n, jnp.float32) ** 2, ay_f])
     seed_u = jnp.asarray(seed, jnp.uint32)
     seeds = _fmix(seed_u + jnp.arange(1, 4, dtype=jnp.uint32)
                   * jnp.uint32(0x9E3779B9))

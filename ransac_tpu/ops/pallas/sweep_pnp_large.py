@@ -58,6 +58,10 @@ def _make_kernel(n_score: int, block_h: int):
 
     def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fbest_ref, ibest_ref):
         thr_sq = thr_ref[0]
+        # ay = fy/fx anisotropy: pool py is pre-scaled host-side; each
+        # pose's y-row is scaled below so du^2 + dv^2 is the true pixel
+        # error / fx (pixel-true threshold, cv2 semantics).
+        ay = thr_ref[1]
         n_valid = nv_ref[0]
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
@@ -189,6 +193,9 @@ def _make_kernel(n_score: int, block_h: int):
             ccm = [(C[0][c] + C[1][c] + C[2][c]) / 3.0 for c in range(3)]
             t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
                            + R[r][2] * cw[2]) for r in range(3)]
+            # Pixel-true anisotropic scoring: y-row scaled once per root.
+            R = [R[0], [R[1][c] * ay for c in range(3)], R[2]]
+            t = [t[0], t[1] * ay, t[2]]
             poses.append((valid, R, t))
 
         # Score the full SMEM table against all four roots in ONE pass
@@ -281,7 +288,7 @@ def _make_kernel(n_score: int, block_h: int):
 def pnp_ransac_sweep_large(
     seed, Xw: jnp.ndarray, pix_n: jnp.ndarray, point_mask: jnp.ndarray,
     threshold_n, n_hyp: int, interpret: bool = False,
-    block_h: int | None = None,
+    block_h: int | None = None, ay=1.0,
 ):
     """Run the large-N fused P3P sweep on normalized coords.
 
@@ -295,8 +302,9 @@ def pnp_ransac_sweep_large(
 
     Sampling draws only from points with ``point_mask > 0``; scoring
     covers all points weighted by ``point_mask``.  ``threshold_n`` is in
-    normalized units (pixel_threshold / focal).  Requires >= 3 valid
-    points and N <= 512.
+    fx-normalized units (pixel_threshold / fx); ``ay = fy / fx`` scales
+    y-residuals so the bound is pixel-true under anisotropic K.
+    Requires >= 3 valid points and N <= 512.
     """
     n = Xw.shape[0]
     assert n <= MAX_POINTS, n
@@ -314,11 +322,13 @@ def pnp_ransac_sweep_large(
     ones = jnp.ones_like(pix_n[..., :1])
     f = jnp.concatenate([pix_n, ones], -1)
     f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    ay_f = jnp.asarray(ay, jnp.float32)
+    pix_s = pix_n * jnp.stack([jnp.float32(1.0), ay_f])  # py pre-scaled
     pts = jnp.concatenate(
-        [Xw, f, pix_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
+        [Xw, f, pix_s, maskf[:, None]], axis=1).astype(jnp.float32)[order]
     if n % 2:  # pad to even rows for the 2-point-unrolled score loop
         pts = jnp.concatenate([pts, jnp.zeros((1, 9), jnp.float32)])
-    thr = jnp.asarray(threshold_n, jnp.float32).reshape(1) ** 2
+    thr = jnp.stack([jnp.asarray(threshold_n, jnp.float32) ** 2, ay_f])
     seeds = _draw_seeds_n(seed, 3)
 
     fbest, ibest = pl.pallas_call(

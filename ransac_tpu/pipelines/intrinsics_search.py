@@ -80,8 +80,7 @@ def search_intrinsics(
                 dtype=np.float64)
             key, k = jax.random.split(key)
             res = ransac_mod.ransac_pnp(
-                Xj, pj, jnp.asarray(K, jnp.float32), mask, ransac_cfg, k,
-                focal_px=float(K[0, 0] + K[1, 1]) / 2.0)
+                Xj, pj, jnp.asarray(K, jnp.float32), mask, ransac_cfg, k)
             R, t = ransac_mod.pnp_pose_from_result(res)
             pix_pred, _ = proj.project_points(
                 Xj, R, t, jnp.asarray(K, jnp.float32))

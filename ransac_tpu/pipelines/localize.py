@@ -199,12 +199,20 @@ class LocalizationResult:
 def export_best_candidate_report(
     scene: Scene, result: "LocalizationResult", outputfile: str,
     image=None, depth_val: float = 1.0, make_plots: bool = True,
+    all_features=None,
 ):
     """The reference's show-mode artifacts for the winning candidate
     (main_v1.py:384-417 + find_homographies(show=True) second pass):
     ``*_accuracies.csv``, ``*_correlations.csv`` and the diagnostic plots
     (annotated overlay, error histograms, bearing rose, NN distances,
     homography heatmap, RANSAC scatter) saved next to ``outputfile``.
+
+    ``all_features``: optional FeatureTable read with
+    ``keep_unannotated=True`` — its (0,0)-pixel rows are forward-projected
+    through the winning H into the accuracies/correlations CSVs and the
+    overlay (black squares), matching the reference's unnoted-feature
+    block (main_v1.py:367-383: ``pp2 = M^-1 @ [pos2, 1]`` with actual
+    pixel written as (0, 0)).
     """
     from ransac_tpu import analytics, viz
     from ransac_tpu.io.export import write_rows_csv
@@ -212,10 +220,14 @@ def export_best_candidate_report(
 
     best = result.best_index
     H = jnp.asarray(result.homographies[best])
+    feats = scene.features if all_features is None else all_features
+    pos3d_local = (scene.pos3d if all_features is None
+                   else scene.frame.center(feats.pos3d_utm))
+    loc = scene.cam_locs[best]
     pos2, _ = proj.east_axis_plane_projection(
-        jnp.asarray(scene.pos3d), jnp.asarray(scene.cam_locs[best]))
+        jnp.asarray(np.asarray(pos3d_local, np.float32)), jnp.asarray(loc))
     calc_pixels = np.asarray(hops_mod.apply_h(H, pos2))
-    feats = scene.features
+    annotated = (np.abs(np.asarray(feats.pixels)) > 0).any(axis=1)
     pos_xy = feats.pos3d_utm[:, :2]
 
     acc_rows = analytics.accuracy_rows(
@@ -228,10 +240,18 @@ def export_best_candidate_report(
 
     if make_plots:
         base = outputfile.replace(".jpg", "")
-        inl = result.inlier_masks[best]
+        inl_best = np.asarray(result.inlier_masks[best])
+        if all_features is None:
+            inl = inl_best
+        else:
+            # Map the search's annotated-row inlier mask onto the full
+            # table (row order is preserved by ingest); unannotated rows
+            # are display-only, never scored.
+            inl = np.zeros(len(feats), bool)
+            inl[annotated] = inl_best
         viz.plot_annotated_image(
             image, feats.pixels, feats.symbols, calc_pixels, inl,
-            save_to=base + "_output.png")
+            unannotated_mask=~annotated, save_to=base + "_output.png")
         err = np.linalg.norm(calc_pixels - feats.pixels, axis=1)
         viz.plot_error_histogram(err[inl], "inlier pixel error",
                                  save_to=base + "_err_hist.png")
@@ -312,11 +332,10 @@ def localize(
     # PnP on annotated correspondences (centered frame).
     R = t = origin_utm = pnp_inl = None
     with timed("localize.pnp"):
-        focal = float(K[0, 0] + K[1, 1]) / 2.0
         res = ransac_mod.ransac_pnp(
             jnp.asarray(scene.pos3d), jnp.asarray(scene.pixels),
             jnp.asarray(K, dtype=jnp.float32), jnp.asarray(scene.point_mask),
-            cfg.pnp_ransac, k_pnp, focal_px=focal)
+            cfg.pnp_ransac, k_pnp)
         n_inl = int(res.num_inliers)
         if n_inl >= cfg.min_pnp_inliers:
             Rj, tj = ransac_mod.pnp_pose_from_result(res)

@@ -191,8 +191,7 @@ def incremental_sfm(
                   else ransac_mod.ransac_pnp)
         res = pnp_fn(
             jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
-            Kj, jnp.ones(len(vis)), ransac_cfg, k2,
-            focal_px=float(K[0, 0] + K[1, 1]) / 2.0)
+            Kj, jnp.ones(len(vis)), ransac_cfg, k2,)
         Rf, tf = ransac_mod.pnp_pose_from_result(res)
         m.camera_poses[f] = np.concatenate(
             [np.asarray(log_so3(Rf), np.float64),

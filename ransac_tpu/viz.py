@@ -130,14 +130,26 @@ def plot_ransac_scatter(inliers, outliers, save_to=None):
 
 
 def plot_annotated_image(img, pixels, symbols, calc_pixels=None,
-                         inlier_mask=None, save_to=None):
+                         inlier_mask=None, unannotated_mask=None,
+                         save_to=None):
     """Annotated-overlay figure (main_v1.py:320-353): actual pixels,
-    model-projected pixels, inlier/outlier coloring."""
+    model-projected pixels, inlier/outlier coloring.  Rows flagged in
+    ``unannotated_mask`` are drawn as the reference's unnoted features
+    (main_v1.py:375-379): projected position only, black square + italic
+    symbol label."""
     fig, ax = plt.subplots(figsize=(14, 10))
     if img is not None:
         ax.imshow(img, cmap="gray" if np.asarray(img).ndim == 2 else None)
     pixels = np.asarray(pixels)
     for i, (p, s) in enumerate(zip(pixels, symbols)):
+        if unannotated_mask is not None and unannotated_mask[i]:
+            if calc_pixels is None:
+                continue
+            q = np.asarray(calc_pixels)[i]
+            ax.text(q[0], q[1], str(s), color="black", fontsize=6,
+                    style="italic", weight="bold")
+            ax.plot(*q, marker="s", markersize=3, color="black")
+            continue
         color = "green"
         if inlier_mask is not None and not inlier_mask[i]:
             color = "red"

@@ -26,6 +26,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# NOTE on compile caching: enabling jax's persistent compilation cache
+# here (jax_compilation_cache_dir) segfaults this jaxlib build inside
+# compilation_cache.get_executable_and_time when reloading entries
+# (reproduced twice on clean runs).  The suite therefore relies on `slow`
+# markers for a quick default loop instead; run the full matrix with
+# `pytest tests/` (no -m filter).
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 

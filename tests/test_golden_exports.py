@@ -71,3 +71,43 @@ def test_best_candidate_report_artifacts(result, tmp_path):
     assert len(acc) == 1 + 13
     # Correlations: header + all distinct-symbol pairs of 13 features.
     assert len(corr) == 1 + 13 * 12 // 2
+
+
+def test_unannotated_forward_projection(result, tmp_path):
+    """VERDICT r1 #7: unannotated landmarks ((0,0)-pixel rows) must be
+    forward-projected through the winning H into the accuracies CSV and
+    the overlay — main_v1.py:367-383 (actual pixel written as (0,0), calc
+    pixel = M^-1 @ [pos2, 1])."""
+    from ransac_tpu.io.tables import read_points_data
+    from tests.test_localize_parity import FEATURES
+
+    scene, res = result
+    feats_all = read_points_data(
+        FEATURES, "Pixel_x_1898.jpg", "Pixel_y_1898.jpg",
+        keep_unannotated=True)
+    assert len(feats_all) == 29  # full landmark table
+    out = str(tmp_path / "u1898.jpg")
+    acc, corr = export_best_candidate_report(
+        scene, res, out, image=None, all_features=feats_all)
+    # header + all 29 landmarks.
+    assert len(acc) == 1 + 29
+    rows = acc[1:]
+    annotated = (np.abs(feats_all.pixels) > 0).any(axis=1)
+    assert annotated.sum() == 13
+    # Unannotated rows: actual pixel (0,0), calc pixel finite (projected).
+    for i, r in enumerate(rows):
+        if not annotated[i]:
+            assert float(r[5]) == 0.0 and float(r[6]) == 0.0
+            assert np.isfinite(float(r[7])) and np.isfinite(float(r[8]))
+    # Annotated rows agree with the annotated-only report.
+    acc13, _ = export_best_candidate_report(
+        scene, res, str(tmp_path / "a1898.jpg"), image=None,
+        make_plots=False)
+    ann_rows = [r for i, r in enumerate(rows) if annotated[i]]
+    for r_full, r_ann in zip(ann_rows, acc13[1:]):
+        np.testing.assert_allclose(
+            [float(v) for v in r_full[3:]],
+            [float(v) for v in r_ann[3:]], rtol=1e-4)
+    # Correlations include unannotated pairs: header + C(29,2) minus
+    # same-symbol pairs (reference pairs distinct symbols only).
+    assert len(corr) > 1 + 13 * 12 // 2

@@ -149,16 +149,24 @@ def test_pnp_guard_and_pose_match_cv2(scene, result):
     res = ransac_mod.ransac_pnp(
         jnp.asarray(scene.pos3d), jnp.asarray(scene.pixels),
         jnp.asarray(K, dtype=jnp.float32), jnp.asarray(scene.point_mask),
-        RansacConfig(threshold=30.0, exhaustive=True), jax.random.key(1),
-        focal_px=float(K[0, 0] + K[1, 1]) / 2.0)
-    Rm, tm = ransac_mod.pnp_pose_from_result(res)
-    origin_mine = scene.frame.uncenter(
-        -np.asarray(Rm, np.float64).T @ np.asarray(tm, np.float64))
-    R_cv, _ = cv2.Rodrigues(rvec)
-    origin_cv = scene.frame.uncenter(-R_cv.T @ tvec.ravel())
-    d = np.linalg.norm(origin_cv - origin_mine)
-    assert d < 25.0, (origin_cv, origin_mine, d)
-    assert int(res.num_inliers) == n_cv
+        RansacConfig(threshold=30.0, exhaustive=True), jax.random.key(1))
+    # Consensus parity: exhaustive enumeration cannot find a smaller
+    # consensus than cv2's stochastic best.  On this data several
+    # DISTINCT 5-inlier poses tie (the workload genuinely fails PnP), and
+    # cv2's pick among ties is seed-dependent, so the models themselves
+    # need not match — the sizes must.
+    assert int(res.num_inliers) >= n_cv, (int(res.num_inliers), n_cv)
+    # Pixel-true threshold parity under the reference's anisotropic K
+    # (fx/fy = 1.85): our inlier classification of OUR winning model must
+    # equal cv2's own pixel-error rule (projectPoints L2 <= 30 px).
+    Rm = np.asarray(res.raw_model[:9], np.float64).reshape(3, 3)
+    tm = np.asarray(res.raw_model[9:12], np.float64)
+    rv_m, _ = cv2.Rodrigues(Rm)
+    pp, _ = cv2.projectPoints(
+        scene.pos3d.astype(np.float64), rv_m, tm, K, np.zeros(4))
+    err_px = np.linalg.norm(pp[:, 0, :] - scene.pixels, axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(res.inlier_mask), err_px <= 30.0)
 
 
 def test_inlier_masks_sane(scene, result):

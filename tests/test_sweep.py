@@ -205,7 +205,7 @@ def test_pnp_sweep_engine_wrapper():
         jnp.asarray(X, jnp.float32), jnp.asarray(pix, jnp.float32),
         jnp.asarray(K, jnp.float32), jnp.ones(n),
         RansacConfig(threshold=8.0, num_hypotheses=1024), 5,
-        focal_px=900.0, interpret=True)
+        interpret=True)
     assert int(res.num_inliers) >= 11
     Rm, t = R.pnp_pose_from_result(res)
     ang = float(geodesic_distance(Rm, jnp.asarray(R_true)))
@@ -490,7 +490,7 @@ def test_large_pnp_engine_wrapper_and_mask():
         jnp.asarray(X_bad, jnp.float32), jnp.asarray(pix, jnp.float32),
         jnp.asarray(K, jnp.float32), jnp.asarray(mask),
         RansacConfig(threshold=8.0, num_hypotheses=4096), 5,
-        focal_px=900.0, interpret=True)
+        interpret=True)
     m = np.asarray(res.inlier_mask)
     assert not m[:4].any()
     assert m[4:36].sum() >= 0.8 * 32, m[4:36].sum()
