@@ -40,13 +40,22 @@ CHAINS = 8         # independent dependency chains (covers VPU latency)
 UNROLL = 32        # FMAs per chain per loop trip
 
 
+def _lane_pattern(scale, offset):
+    """Non-uniform [SUB, LAN] tile: uniform (jnp.full) benchmark inputs
+    are algebraically collapsible (a broadcast operand turns a dot into a
+    row-sum; a value-uniform chain could legally be scalarized), which
+    would benchmark the optimizer, not the hardware."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
+    return (r * LAN + c).astype(jnp.float32) * scale + offset
+
+
 def _fma_kernel(n_iters: int):
     def kernel(seed_ref, out_ref):
         s = seed_ref[0]
-        a = jnp.full((SUB, LAN), 1.0 + s * 1e-9, jnp.float32)
-        b = jnp.full((SUB, LAN), 1e-9, jnp.float32)
-        xs = [jnp.full((SUB, LAN), 0.1 * (c + 1), jnp.float32)
-              for c in range(CHAINS)]
+        a = _lane_pattern(1e-9, 1.0 + s * 1e-9)
+        b = _lane_pattern(1e-12, 1e-9)
+        xs = [_lane_pattern(1e-6, 0.1 * (c + 1)) for c in range(CHAINS)]
 
         def body(_, xs):
             out = list(xs)
@@ -69,10 +78,9 @@ def _mixed_kernel(n_iters: int):
 
     def kernel(seed_ref, out_ref):
         s = seed_ref[0]
-        thr = jnp.full((SUB, LAN), 0.5 + s * 1e-9, jnp.float32)
-        one = jnp.full((SUB, LAN), 1.000001, jnp.float32)
-        xs = [jnp.full((SUB, LAN), 0.1 * (c + 1), jnp.float32)
-              for c in range(CHAINS)]
+        thr = _lane_pattern(1e-9, 0.5 + s * 1e-9)
+        one = _lane_pattern(1e-12, 1.000001)
+        xs = [_lane_pattern(1e-6, 0.1 * (c + 1)) for c in range(CHAINS)]
 
         def body(_, carry):
             xs = list(carry)
@@ -112,7 +120,7 @@ def _run_chain(seed, n_iters: int, kind: str, n_rep: int = 1):
 import numpy as np
 
 
-def _time_best(fn, reps: int = 3, small: int = 1, large: int = 5):
+def _time_best(fn, reps: int = 5, small: int = 1, large: int = 9):
     """Single-program delta timing with a FORCED host readback.
 
     Two measurement hazards through the axon tunnel, both reproduced:
@@ -137,12 +145,20 @@ def _time_best(fn, reps: int = 3, small: int = 1, large: int = 5):
     run(small)   # compile small
     run(large)   # compile large
     run(small)   # tunnel first-loop artifact
-    best = float("inf")
+    # Median of deltas: tunnel RTT jitter is multi-ms, so callers must
+    # size (large - small) * workload >> jitter; the median rejects
+    # outlier round-trips, and non-positive deltas are discarded.
+    deltas = []
     for _ in range(reps):
         t_small = run(small)
         t_large = run(large)
-        best = min(best, (t_large - t_small) / (large - small))
-    return max(best, 1e-9)
+        d = (t_large - t_small) / (large - small)
+        if d > 0:
+            deltas.append(d)
+    assert deltas, "all timing deltas non-positive: workload too small " \
+                   "vs tunnel jitter — raise n_iters/n_rep"
+    deltas.sort()
+    return deltas[len(deltas) // 2]
 
 
 def _serial_repeat(call_one, seed, n_rep: int):
@@ -160,14 +176,14 @@ def _serial_repeat(call_one, seed, n_rep: int):
     return acc
 
 
-def measure_vpu_fma_peak(n_iters: int = 8192) -> float:
+def measure_vpu_fma_peak(n_iters: int = 131072) -> float:
     """Sustained f32 FLOP/s (FMA = 2 FLOPs) on [8, 512] tiles."""
     dt = _time_best(lambda k, r: _run_chain(k, n_iters, "fma", r))
     flops = 2.0 * n_iters * UNROLL * CHAINS * SUB * LAN
     return flops / dt
 
 
-def measure_vpu_op_peak(n_iters: int = 8192) -> float:
+def measure_vpu_op_peak(n_iters: int = 131072) -> float:
     """Sustained generic vector element-ops/s (cmp/select/min/mul/add)."""
     dt = _time_best(lambda k, r: _run_chain(k, n_iters, "mixed", r))
     # ops per trip per chain: UNROLL//4 groups x 5 ops (cmp, mul, add,
@@ -179,8 +195,12 @@ def measure_vpu_op_peak(n_iters: int = 8192) -> float:
 def _mxu_kernel(n_iters: int, m: int, k: int, n: int):
     def kernel(seed_ref, out_ref):
         s = seed_ref[0]
-        a = jnp.full((m, k), 1e-3 + s * 1e-12, jnp.float32)
-        b = jnp.full((k, n), 1e-3, jnp.float32)
+        ar = jax.lax.broadcasted_iota(jnp.int32, (m, k), 0)
+        ac = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+        a = (ar - ac).astype(jnp.float32) * 1e-6 + 1e-3 + s * 1e-12
+        br = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
+        bc = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
+        b = (bc - br).astype(jnp.float32) * 1e-6 + 1e-3
 
         def body(_, a):
             c = jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -206,7 +226,7 @@ def _run_mxu(seed, n_iters: int, m: int = 512, k: int = 512, n: int = 512,
     return _serial_repeat(call_one, seed, n_rep)
 
 
-def measure_mxu_peak(n_iters: int = 512, m: int = 512, k: int = 512,
+def measure_mxu_peak(n_iters: int = 4096, m: int = 512, k: int = 512,
                      n: int = 512) -> float:
     """Sustained f32 matmul FLOP/s at [m,k]x[k,n] resident in VMEM."""
     dt = _time_best(lambda s, r: _run_mxu(s, n_iters, m, k, n, r))
@@ -231,7 +251,8 @@ def measure_hbm_bw(mb: int = 512) -> float:
         _, acc = jax.lax.fori_loop(0, n_rep, body, (s, jnp.float32(0.0)))
         return acc
 
-    dt = _time_best(lambda k, r: f(x, jnp.float32(k + 1), r))
+    dt = _time_best(lambda k, r: f(x, jnp.float32(k + 1), r),
+                    small=2, large=34)
     return n * 4 / dt
 
 

@@ -129,3 +129,72 @@ def distributed_bundle_adjust(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(p.cameras, p.points, p.obs_cam, p.obs_pt, p.obs_uv, p.obs_w)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free CG Schur variant (SLAM/SfM scale)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("mesh", "n_iters", "cg_iters",
+                                   "huber_scale", "fix_first_camera"))
+def distributed_bundle_adjust_cg(
+    sp, mesh: Mesh, n_iters: int = 10, cg_iters: int = 24,
+    damping: float = 1e-3, huber_scale: float = 0.0,
+    fix_first_camera: bool = True,
+):
+    """Distributed ``ba.schur_cg.bundle_adjust_cg``: the POINT axis (rows
+    of the [P, D] slot layout) shards over mesh ``data``; cameras and the
+    reduced camera system are replicated.  The ONLY cross-shard traffic
+    is the psum of camera-side reductions (U, g_c, rhs and the per-CG-
+    iteration s_c) — tiny [C, 6]/[C, 36] tensors riding ICI — which is
+    exactly the ``cam_psum`` hook of ``_schur_cg_step``.  Replaces the
+    dense-cross-tensor ``distributed_bundle_adjust`` at scales where
+    [C, P, 6, 3] cannot exist (VERDICT r1 item 4).
+
+    ``sp``: BASlotProblem whose P divides the data-axis size (pad with
+    zero-weight points).  Returns (cameras, points, cost).
+    """
+    from ransac_tpu.ba.schur_cg import (BASlotProblem, _schur_cg_step,
+                                        _slot_blocks, slot_cost)
+
+    n_cam = sp.cameras.shape[0]
+
+    def shard_fn(cameras, points, slot_cam, slot_uv, slot_w):
+        psum = lambda x: jax.lax.psum(x, "data")
+
+        def local(cams, pts):
+            return BASlotProblem(cams, pts, sp.K, slot_cam, slot_uv,
+                                 slot_w)
+
+        def one_iter(state, _):
+            cams, pts, lam, cost = state
+            pb = local(cams, pts)
+            r, Jc, Jp = _slot_blocks(pb, cams, pts, huber_scale)
+            dc, dp = _schur_cg_step(pb, r, Jc, Jp, lam, n_cam,
+                                    fix_first_camera, cg_iters,
+                                    cam_psum=psum)
+            cams_new = cams + dc
+            pts_new = pts + dp
+            cost_new = psum(slot_cost(local(cams_new, pts_new), cams_new,
+                                      pts_new, huber_scale))
+            accept = cost_new < cost
+            cams = jnp.where(accept, cams_new, cams)
+            pts = jnp.where(accept, pts_new, pts)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-10),
+                            jnp.minimum(lam * 5.0, 1e8))
+            cost = jnp.where(accept, cost_new, cost)
+            return (cams, pts, lam, cost), cost
+
+        c0 = psum(slot_cost(local(cameras, points), cameras, points,
+                            huber_scale))
+        (cams, pts, lam, cost), _ = jax.lax.scan(
+            one_iter,
+            (cameras, points, jnp.asarray(damping, cameras.dtype), c0),
+            None, length=n_iters)
+        return cams, pts, cost
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P("data"), P()),
+        check_vma=False,
+    )(sp.cameras, sp.points, sp.slot_cam, sp.slot_uv, sp.slot_w)
