@@ -157,26 +157,54 @@ def in_bounds(dem: DemUtm, x, y, margin: float = 0.0):
             & (y >= dem.y0 + margin) & (y <= ymax - margin))
 
 
-def load_geotiff(path: str, zone: int = 50) -> DemLonLat:
-    """GeoTIFF -> DemLonLat via PIL tags (ModelPixelScale 33550,
-    ModelTiepoint 33922).  Covers north-up rasters, the reference's case
-    (gt = (lon0, dlon, 0, lat0, 0, -dlat), main_v1.py:431-433)."""
-    from PIL import Image
+def load_geotiff(path: str, zone: int = 50,
+                 nodata_fill: float = float("nan")) -> DemLonLat:
+    """GeoTIFF -> DemLonLat via the dependency-free reader in
+    :mod:`ransac_tpu.io.tiff` (tiled and strip layouts, Deflate/LZW/
+    PackBits, predictors 2/3, BigTIFF, GDAL_NODATA, full
+    ModelTransformation) — the raster feature set GDAL gives the
+    reference for free (main_v1.py:425-433).  Falls back to PIL for
+    TIFF variants outside that set (e.g. JPEG-compressed).
 
-    im = Image.open(path)
-    data = np.asarray(im, dtype=np.float32)
-    tags = im.tag_v2
-    scale = tags.get(33550)
-    tiepoint = tags.get(33922)
-    if scale is None or tiepoint is None:
-        transform = tags.get(34264)  # ModelTransformation
-        if transform is None:
-            raise ValueError(f"{path}: no geotransform tags")
-        lon0, dlon = transform[3], transform[0]
-        lat0, dlat = transform[7], transform[5]
-    else:
-        dlon, dlat = scale[0], -abs(scale[1])
-        lon0, lat0 = tiepoint[3], tiepoint[4]
+    Nodata cells become ``nodata_fill`` (default NaN: bilinear samples
+    touching them go NaN, so rays never "hit" a nodata hole and the
+    bounds checks mirroring main_v1.py:921-929 reject queries there).
+    """
+    from ransac_tpu.io import tiff as tifflib
+
+    try:
+        raw, tags = tifflib.read_tiff(path)
+        gt = tifflib.geotransform(tags)
+        nodata = tifflib.nodata_value(tags)
+    except ValueError:
+        raise
+    except Exception:  # non-TIFF container / exotic codec: try PIL
+        from PIL import Image
+
+        im = Image.open(path)
+        raw = np.asarray(im)
+        t = im.tag_v2
+        scale, tiepoint = t.get(33550), t.get(33922)
+        if scale is None or tiepoint is None:
+            m = t.get(34264)
+            if m is None:
+                raise ValueError(f"{path}: no geotransform tags")
+            gt = (m[3], m[0], m[1], m[7], m[4], m[5])
+        else:
+            gt = (tiepoint[3], scale[0], 0.0, tiepoint[4], 0.0, -scale[1])
+        nodata = None
+        nd = t.get(42113)
+        if nd is not None:
+            try:
+                nodata = float(str(nd).strip())
+            except ValueError:
+                pass
+    data = np.asarray(raw, dtype=np.float32)
+    if nodata is not None:
+        data = np.where(
+            np.isclose(data, np.float32(nodata), rtol=1e-6, atol=0.0),
+            np.float32(nodata_fill), data)
+    lon0, dlon, _, lat0, _, dlat = gt
     h, w = data.shape[:2]
     lon = lon0 + np.arange(w) * dlon
     lat = lat0 + np.arange(h) * dlat
@@ -188,9 +216,12 @@ def from_arrays(data: np.ndarray, lon: np.ndarray, lat: np.ndarray,
     data = np.asarray(data, np.float32)
     lat = np.asarray(lat, np.float64)
     lon = np.asarray(lon, np.float64)
-    if lat[0] > lat[-1]:  # store ascending
+    if lat[0] > lat[-1]:  # store ascending (north-up rasters)
         lat = lat[::-1]
         data = data[::-1]
+    if lon.size > 1 and lon[0] > lon[-1]:  # west-east-flipped rasters
+        lon = lon[::-1]
+        data = data[:, ::-1]
     corners = [(lon.min(), lat.min()), (lon.min(), lat.max()),
                (lon.max(), lat.min()), (lon.max(), lat.max())]
     es, ns = zip(*[wgs84_to_utm(lo, la, zone) for lo, la in corners])
