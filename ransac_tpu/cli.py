@@ -300,11 +300,31 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _run_scaling():
+    from ransac_tpu.utils.scaling import (
+        measure_frontend_scaling, measure_scaling, report)
+
+    pts = measure_scaling()
+    print(report(pts))
+    print("# keyframe front end (weak scaling over mesh data axis)")
+    print(report(measure_frontend_scaling(), unit="frames/s"))
+
+
 def _cmd_profile(args):
     """Speed-of-light utilization report for the hot kernels
     (BASELINE.md deliverable: 'SoL utilization per chip')."""
     import jax
     import jax.numpy as jnp
+
+    if getattr(args, "scaling_only", False):
+        return _run_scaling()
+
+    if getattr(args, "measure_peaks", False):
+        from ransac_tpu.utils.profiling import refresh_peaks_measured
+
+        peaks = refresh_peaks_measured()
+        print("# measured rooflines:",
+              {k: f"{v:.4g}" for k, v in peaks.items()})
 
     from ransac_tpu.ops import homography as hops
     from ransac_tpu.ops.pallas import score as pscore
@@ -327,8 +347,12 @@ def _cmd_profile(args):
             return homography_ransac_sweep(seed, src, dst, mask, 75.0,
                                            n_hyp=H)
 
+        from ransac_tpu.ops.pallas import sweep as sweep_mod
+
         prof.measure("fused_ransac_sweep", jax.jit(sweep), 0,
-                     flops=H * (700 + 22 * n), bytes_moved=H // 85)
+                     flops=H * (700 + 22 * n), bytes_moved=H // 85,
+                     issued_ops=H * sweep_mod.issue_slots_per_hyp(n),
+                     vary=lambda i: (i,))
 
         from ransac_tpu.ops.pallas.sweep_pnp import pnp_ransac_sweep
 
@@ -339,8 +363,12 @@ def _cmd_profile(args):
             return pnp_ransac_sweep(seed, Xw, pixn, mask, 30.0 / 900.0,
                                     n_hyp=H)
 
+        from ransac_tpu.ops.pallas import sweep_pnp as pnp_mod
+
         prof.measure("fused_p3p_sweep", jax.jit(sweep_pnp), 0,
-                     flops=H * (2500 + 100 * n), bytes_moved=H // 42)
+                     flops=H * (2500 + 100 * n), bytes_moved=H // 42,
+                     issued_ops=H * pnp_mod.issue_slots_per_hyp(n),
+                     vary=lambda i: (i,))
 
         from ransac_tpu.ops.pallas.sweep_pnp_large import (
             pnp_ransac_sweep_large)
@@ -355,9 +383,13 @@ def _cmd_profile(args):
                 seed, XwL, pixnL, jnp.ones(nL, jnp.float32), 30.0 / 900.0,
                 n_hyp=H)
 
+        from ransac_tpu.ops.pallas import sweep_pnp_large as pnpl_mod
+
         prof.measure("fused_p3p_sweep_large_n256",
                      jax.jit(sweep_pnp_l), 0,
-                     flops=H * (2500 + 106 * nL), bytes_moved=H // 42)
+                     flops=H * (2500 + 106 * nL), bytes_moved=H // 42,
+                     issued_ops=H * pnpl_mod.issue_slots_per_hyp(nL),
+                     vary=lambda i: (i,))
 
         from ransac_tpu.ops.pallas.sweep_essential import (
             essential_ransac_sweep)
@@ -370,8 +402,12 @@ def _cmd_profile(args):
             return essential_ransac_sweep(seed, x1, x2, maske,
                                           (2.0 / 600.0) ** 2, n_hyp=H)
 
+        from ransac_tpu.ops.pallas import sweep_essential as ess_mod
+
         prof.measure("fused_essential_sweep", jax.jit(sweep_e), 0,
-                     flops=H * (5200 + 30 * n), bytes_moved=H // 85)
+                     flops=H * (5200 + 30 * n), bytes_moved=H // 85,
+                     issued_ops=H * ess_mod.issue_slots_per_hyp(n + 3),
+                     vary=lambda i: (i,))
 
     models = jnp.asarray(
         (np.eye(3)[None] + rng.normal(scale=0.1, size=(H, 3, 3))
@@ -411,7 +447,7 @@ def _cmd_profile(args):
 
     prof.measure("mutual_nn_match", match, 0,
                  flops=B * 2 * Kp * Kp * D, bytes_moved=B * 2 * Kp * D * 4,
-                 vary=lambda i: (i,))
+                 unit="mxu", vary=lambda i: (i,))
 
     from ransac_tpu.features.detect import harris_response
 
@@ -423,7 +459,7 @@ def _cmd_profile(args):
 
     prof.measure("harris_response_1024", harris_seeded, 0,
                  flops=1024 * 1024 * 400, bytes_moved=1024 * 1024 * 4 * 6,
-                 vary=lambda i: (i,))
+                 unit="mxu", vary=lambda i: (i,))
 
     # Whole two-view frame step as ONE jitted program (BASELINE.md
     # "frames/s at 1 chip"): detect -> describe -> match -> essential
@@ -479,10 +515,7 @@ def _cmd_profile(args):
         print(f"wrote {args.out}")
 
     if args.scaling:
-        from ransac_tpu.utils.scaling import measure_scaling, report
-
-        pts = measure_scaling()
-        print(report(pts))
+        _run_scaling()
 
 
 def main(argv=None):
@@ -560,6 +593,12 @@ def main(argv=None):
     p.add_argument("--out", default="")
     p.add_argument("--scaling", action="store_true",
                    help="also run the multi-device scaling harness")
+    p.add_argument("--scaling-only", action="store_true",
+                   help="skip the kernel table (scaling harness only)")
+    p.add_argument("--measure-peaks", action="store_true",
+                   help="re-measure the VPU/MXU/HBM rooflines on the "
+                        "attached chip before reporting (TPU only; "
+                        "several minutes of remote compiles)")
     p.set_defaults(fn=_cmd_profile)
 
     args = ap.parse_args(argv)

@@ -328,3 +328,24 @@ def unpack_sample(packed: int) -> np.ndarray:
     p = int(packed)
     return np.array([p & 15, (p >> 4) & 15, (p >> 8) & 15, (p >> 12) & 15],
                     dtype=np.int32)
+
+
+def issue_slots_per_hyp(n_points: int) -> float:
+    """Analytic VPU issue-slot count per hypothesis for the SoL report
+    (``utils.profiling``; FMA counted as 2 slots, matching the measured
+    FMA rate being half the generic op rate on v5e).
+
+    Derivation (ops on [8, LAN] tiles, per hypothesis element):
+    - counter PRNG: 4 x fmix (8 ops) + Fisher-Yates mod/shifts   ~70
+    - validity bit tests                                          ~10
+    - tree gather: 16 columns x ~(n-1) selects + 16 mask ops      16n
+    - projective-frame solve: 2 frames (~115 incl. FMA x2) +
+      adjugate (~36) + H contraction (~54)                        ~205
+    - score loop: n x (6 FMA for u,v,w = 12 + recip ~4 + 2 FMA
+      residual = 4 + e2 ~3 + count ~3 + msac ~3)                  ~29n
+    - two-record block reduction, amortized over BLOCK_H          ~0
+
+    Total ~= 285 + 45n.  Estimated from the kernel source op-by-op;
+    good to ~+-25% (stated in PERF.md).
+    """
+    return 285 + 45 * n_points

@@ -386,3 +386,12 @@ def essential_ransac_sweep(
 def unpack_sample8(packed: int) -> np.ndarray:
     p = int(packed) & 0xFFFFFFFF
     return np.array([(p >> (4 * j)) & 15 for j in range(8)], dtype=np.int32)
+
+
+def issue_slots_per_hyp(n_points: int) -> float:
+    """Analytic VPU issue-slot count per hypothesis (FMA = 2 slots; see
+    ``sweep.issue_slots_per_hyp``).  Canonical-frame generalized-cross-
+    product solve: two adjugate frames + 4x5 Pluecker determinant chain
+    with mid-flight rescale (~500 mul-adds -> ~1000 slots incl. 3
+    rsqrt); Sampson-gated epipolar scoring ~45/point."""
+    return 1100 + 45 * n_points

@@ -372,3 +372,11 @@ def essential_ransac_sweep_large(
                      fout[jnp.array([0, 2])] * inv_s2)
     return (msac, fout[jnp.array([1, 3])], iout,
             (seeds, n_valid, order, (m1, m2, s)))
+
+
+def issue_slots_per_hyp(n_points: int) -> float:
+    """Analytic VPU issue-slot count per hypothesis (SoL accounting; see
+    ``sweep_essential.issue_slots_per_hyp``).  One-hot gather of 8 draws
+    x 4 columns costs 8 cmp + 32 sel = 40/row — the 8-point sample makes
+    gather, not scoring, the large-pool cost driver."""
+    return 1100 + 85 * n_points

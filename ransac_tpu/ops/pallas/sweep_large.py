@@ -315,3 +315,12 @@ def homography_ransac_sweep_large(
                      jnp.float32(3.4e38),
                      fbest[jnp.array([0, 2])] * inv_s2)
     return msac, fbest[jnp.array([1, 3])], ibest, (seeds, n_valid, order)
+
+
+def issue_slots_per_hyp(n_points: int) -> float:
+    """Analytic VPU issue-slot count per hypothesis (SoL accounting; see
+    ``sweep.issue_slots_per_hyp`` for conventions).  The one-hot gather
+    costs 4 compares + 16 selects per pool row; the score loop ~29 slots
+    per row (6 FMA u,v,w + reciprocal + residual FMAs + two records).
+    Total ~= 285 + (20 + 29) n."""
+    return 285 + 49 * n_points

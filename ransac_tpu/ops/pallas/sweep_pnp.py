@@ -470,3 +470,17 @@ def pnp_ransac_sweep(
 def unpack_sample3(packed: int) -> np.ndarray:
     p = int(packed)
     return np.array([p & 15, (p >> 4) & 15, (p >> 8) & 15], dtype=np.int32)
+
+
+def issue_slots_per_hyp(n_points: int) -> float:
+    """Analytic VPU issue-slot count per P3P SAMPLE (4 roots solved and
+    scored; FMA = 2 slots — see ``sweep.issue_slots_per_hyp``).
+
+    - PRNG + 3-draw Fisher-Yates + tree gather (15 cols)          ~260
+    - Grunert quartic: 30-step Newton resolvent cubic (~240) +
+      Ferrari + 2-step polish x4 roots (~160) + depth/triad pose
+      construction x4 roots (~300)                                ~700
+    - single-pass scoring, 4 roots x n x (project ~14 + residual
+      + records ~12)                                              ~104n
+    """
+    return 960 + 104 * n_points

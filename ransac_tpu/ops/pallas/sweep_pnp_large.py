@@ -359,3 +359,10 @@ def pnp_ransac_sweep_large(
 
     return (fbest[jnp.array([0, 2])], fbest[jnp.array([1, 3])], ibest,
             (seeds, n_valid, order))
+
+
+def issue_slots_per_hyp(n_points: int) -> float:
+    """Analytic VPU issue-slot count per P3P sample (SoL accounting; see
+    ``sweep_pnp.issue_slots_per_hyp``).  One-hot gather of 3 draws x 5
+    columns ~18/row; 4-root single-pass scoring ~110/row."""
+    return 960 + 128 * n_points

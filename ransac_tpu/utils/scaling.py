@@ -77,14 +77,57 @@ def measure_scaling(
     return points
 
 
-def report(points: list[ScalePoint], virtual: bool | None = None) -> str:
+def measure_frontend_scaling(
+    device_counts=None, frames_per_device: int = 2, img_hw: int = 128,
+    max_kp: int = 256, iters: int = 3, seed: int = 0,
+) -> list[ScalePoint]:
+    """Frames/s of the keyframe-sharded front end (detect + describe +
+    consecutive-pair match over the mesh ``data`` axis) across mesh sizes
+    — the BASELINE.md "frames/s at N hosts" metric's substrate
+    (SURVEY.md §2.5 row 4).  Weak scaling: the frame count grows with the
+    data axis, so perfect scaling is flat time / linear frames/s."""
+    from ransac_tpu.parallel.sharded_frontend import distributed_frontend
+    from ransac_tpu.utils.config import TwoViewConfig
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
+    cfg = TwoViewConfig(max_keypoints=max_kp)
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((img_hw + 64, img_hw + 64)).astype(np.float32)
+
+    points: list[ScalePoint] = []
+    base_fps = None
+    for nd in device_counts:
+        mesh = make_mesh(nd, data=nd, model=1)
+        n_frames = frames_per_device * mesh.shape["data"]
+        imgs = jnp.asarray(np.stack(
+            [base[f:f + img_hw, f:f + img_hw] for f in range(n_frames)]))
+        out = distributed_frontend(imgs, mesh, cfg)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = distributed_frontend(imgs, mesh, cfg)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        fps = n_frames / dt
+        if base_fps is None:
+            base_fps = fps
+        points.append(ScalePoint(
+            n_devices=nd, mesh_shape=dict(mesh.shape),
+            candidates_per_s=fps, efficiency=fps / (base_fps * nd)))
+    return points
+
+
+def report(points: list[ScalePoint], virtual: bool | None = None,
+           unit: str = "cand/s") -> str:
     if virtual is None:
         virtual = jax.devices()[0].platform == "cpu"
     lines = []
     if virtual:
         lines.append("# NOTE: virtual single-host devices — validates the "
                      "sharded program, not real speedup")
-    lines.append(f"{'devices':>8} {'mesh':>14} {'cand/s':>12} {'eff':>6}")
+    lines.append(f"{'devices':>8} {'mesh':>14} {unit:>12} {'eff':>6}")
     for p in points:
         lines.append(f"{p.n_devices:8d} {str(p.mesh_shape):>14} "
                      f"{p.candidates_per_s:12.1f} {100*p.efficiency:5.1f}%")

@@ -81,3 +81,81 @@ def test_distributed_all_model_mesh():
         jnp.asarray(cam_locs), jnp.asarray(grids), cfg,
         jax.random.key(0), mesh)
     assert int(out["best"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Keyframe-axis sharded front end (SURVEY.md §2.5 row 4)
+
+
+def _synth_frames(F=8, H=64, W=64, seed=3):
+    """Smooth textured frames with a drifting pattern (trackable corners)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((H + 16, W + 16))
+    # Blur for broad structure + checker detail for corners.
+    k = np.ones(5) / 5.0
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 0, base)
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    yy, xx = np.mgrid[0:H + 16, 0:W + 16]
+    base = base * 3 + 0.5 * np.sin(yy / 2.1) * np.sin(xx / 2.3)
+    return np.stack([base[f:f + H, f:f + W] for f in range(F)]
+                    ).astype(np.float32)
+
+
+def test_sharded_frontend_matches_single_device():
+    from ransac_tpu.parallel.sharded_frontend import (
+        distributed_frontend, frontend_frames, match_consecutive)
+    from ransac_tpu.utils.config import TwoViewConfig
+
+    cfg = TwoViewConfig(max_keypoints=64, nms_radius=3, patch_size=8)
+    imgs = _synth_frames(F=8)
+    mesh = make_mesh(8, data=4, model=2)
+    xy_d, val_d, desc_d, idx2_d, mval_d = distributed_frontend(
+        jnp.asarray(imgs), mesh, cfg)
+
+    xy_s, val_s, desc_s = frontend_frames(
+        jnp.asarray(imgs), cfg.max_keypoints, cfg.nms_radius,
+        cfg.harris_k, cfg.patch_size)
+    idx2_s, mval_s = match_consecutive(xy_s, val_s, desc_s,
+                                       cfg.match_ratio)
+
+    np.testing.assert_array_equal(np.asarray(val_d), np.asarray(val_s))
+    np.testing.assert_allclose(np.asarray(xy_d), np.asarray(xy_s),
+                               atol=1e-6)
+    # Pair rows 0..F-2 must agree exactly; row F-1 is the wrapped
+    # boundary of the last device and must be all-invalid.
+    np.testing.assert_array_equal(np.asarray(mval_d)[:-1],
+                                  np.asarray(mval_s))
+    keep = np.asarray(mval_s)
+    np.testing.assert_array_equal(np.asarray(idx2_d)[:-1][keep],
+                                  np.asarray(idx2_s)[keep])
+    assert not np.asarray(mval_d)[-1].any()
+    # The synthetic drift must actually produce matches.
+    assert keep.sum() > 20
+
+
+def test_sharded_frontend_tracks_feed_sfm():
+    from ransac_tpu.parallel.sharded_frontend import (
+        distributed_frontend, matches_to_tracks)
+    from ransac_tpu.utils.config import TwoViewConfig
+
+    cfg = TwoViewConfig(max_keypoints=64, nms_radius=3, patch_size=8)
+    imgs = _synth_frames(F=8)
+    mesh = make_mesh(8, data=8, model=1)
+    xy, val, desc, idx2, mval = distributed_frontend(
+        jnp.asarray(imgs), mesh, cfg)
+    tracks = matches_to_tracks(xy, idx2, mval, min_len=3)
+    assert tracks, "no tracks chained"
+    frames = {f for f, _ in tracks}
+    tids = {t for _, t in tracks}
+    assert len(frames) >= 3
+    # Track chaining invariant: per (frame, tid) at most one observation,
+    # consecutive frames within a track.
+    by_tid = {}
+    for (f, t), uv in tracks.items():
+        by_tid.setdefault(t, []).append(f)
+        assert uv.shape == (2,)
+    for t, fs in by_tid.items():
+        fs = sorted(fs)
+        assert fs == list(range(fs[0], fs[0] + len(fs))), (t, fs)
+        assert len(fs) >= 3
+    assert len(tids) >= 5

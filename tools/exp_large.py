@@ -221,53 +221,62 @@ def _make_kernel(n_score: int, *, score_unroll=2, gather_unroll=1,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp", "n", "variant_key",
-                                             "kw_items"))
-def run_variant(seed, pts, n_valid, n_hyp, n, variant_key, kw_items):
+@functools.partial(jax.jit, static_argnames=("n_hyp", "n", "kw_items",
+                                             "n_rep"))
+def run_variant(seed, pts, n_valid, n_hyp, n, kw_items, n_rep=1):
+    """n_rep dependency-chained sweeps inside one jitted program (each
+    seed perturbed by the previous output, so repeats cannot overlap or
+    complete out of order through the tunnel)."""
     kw = dict(kw_items)
     n_blocks = max(n_hyp // BLOCK_H, 1)
-    seeds = _fmix(jnp.asarray(seed, jnp.uint32)
-                  + jnp.arange(1, 5, dtype=jnp.uint32)
-                  * jnp.uint32(0x9E3779B9))
     thr = jnp.asarray([0.02], jnp.float32)
-    fbest, ibest = pl.pallas_call(
-        _make_kernel(n, **kw),
-        grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
-        out_specs=(
-            pl.BlockSpec((4, LAN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LAN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
-            jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
-        ),
-    )(pts, thr, seeds, n_valid.reshape(1))
-    return fbest[0].min(), ibest[0].min()
+
+    def call_one(s):
+        seeds = _fmix(s + jnp.arange(1, 5, dtype=jnp.uint32)
+                      * jnp.uint32(0x9E3779B9))
+        fbest, ibest = pl.pallas_call(
+            _make_kernel(n, **kw),
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+            out_specs=(
+                pl.BlockSpec((4, LAN), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, LAN), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
+                jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
+            ),
+        )(pts, thr, seeds, n_valid.reshape(1))
+        return jnp.min(ibest[0])
+
+    def body(_, carry):
+        s, acc = carry
+        v = call_one(s)
+        # Genuine data dependency (flat ids are >= 0, so the term is 0 at
+        # runtime but the compiler cannot hoist the next call).
+        return s + jnp.uint32(1) + (v == -7).astype(jnp.uint32), acc + v
+
+    _, acc = jax.lax.fori_loop(
+        0, n_rep, body, (jnp.asarray(seed, jnp.uint32), jnp.int32(0)))
+    return acc
 
 
-def bench(name, n=256, n_hyp=1 << 22, iters=8, reps=3, **kw):
+def bench(name, n=256, n_hyp=1 << 22, **kw):
+    from ransac_tpu.ops.pallas.roofline import _time_best
+
     rng = np.random.default_rng(0)
     pts = jnp.asarray(
         np.concatenate([rng.standard_normal((n, 4)),
                         np.ones((n, 1))], axis=1), jnp.float32)
     n_valid = jnp.int32(n)
     kw_items = tuple(sorted(kw.items()))
-    out = run_variant(0, pts, n_valid, n_hyp, n, name, kw_items)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for rep in range(reps + 1):
-        t0 = time.perf_counter()
-        outs = [run_variant(rep * iters + i + 1, pts, n_valid, n_hyp, n,
-                            name, kw_items) for i in range(iters)]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / iters
-        if rep:  # discard first timed loop (tunnel artifact)
-            best = min(best, dt)
-    rate = n_hyp / best
-    print(f"{name:32s} N={n:4d} {best*1e3:8.3f} ms  {rate/1e6:8.1f} M hyp/s",
+    dt = _time_best(
+        lambda k, r: run_variant(k, pts, n_valid, n_hyp, n, kw_items, r),
+        reps=3, small=1, large=5)
+    rate = n_hyp / dt
+    print(f"{name:32s} N={n:4d} {dt*1e3:8.3f} ms  {rate/1e6:8.1f} M hyp/s",
           flush=True)
     return rate
 
@@ -290,6 +299,14 @@ VARIANTS = {
     "skip_both": dict(skip_gather=True, skip_score=True),
     "best_combo": dict(divfree=True, msac="nr", score_unroll=4,
                        gather_unroll=2),
+    "g8s8": dict(gather_unroll=8, score_unroll=8),
+    "g16s16": dict(gather_unroll=16, score_unroll=16),
+    "g32s32": dict(gather_unroll=32, score_unroll=32),
+    "g16s16_divfree": dict(gather_unroll=16, score_unroll=16,
+                           divfree=True, msac="nr"),
+    "g32s32_divfree": dict(gather_unroll=32, score_unroll=32,
+                           divfree=True, msac="nr"),
+    "full_unroll": dict(gather_unroll=256, score_unroll=256),
 }
 
 if __name__ == "__main__":
