@@ -54,6 +54,7 @@ def _best_of_reps(fn, mkargs, iters, reps=3):
 
     out = fn(*mkargs(0))
     jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
     dt = float("inf")
     k = 1
     for _ in range(reps):
@@ -61,6 +62,11 @@ def _best_of_reps(fn, mkargs, iters, reps=3):
         for i in range(iters):
             out = fn(*mkargs(k + i))
         jax.block_until_ready(out)
+        # Forced host readback of the LAST call's output: through the
+        # axon tunnel block_until_ready can return before completion
+        # (reproduced in ransac_tpu/ops/pallas/roofline.py); fetching a
+        # leaf drains the in-order device stream.  Amortized over iters.
+        np.asarray(jax.tree.leaves(out)[0])
         dt = min(dt, (_time.perf_counter() - t0) / iters)
         k += iters
     return dt, out

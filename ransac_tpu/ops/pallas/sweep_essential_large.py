@@ -30,19 +30,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ransac_tpu.ops.pallas.sweep_large import (_draw_seeds_n, _fy_draws,
-                                               MAX_POINTS)
+from ransac_tpu.ops.pallas.sweep_large import (
+    MAX_POINTS, UNROLL, WINDOW, _draw_seeds_n, _fmix, _fy_draws,
+    _range_reduce, _shuffle_order_hash, _window_bases_hash, _wrap_mod)
 
 BLOCK_H = 4096
 SUB = 8
 
+# Seed layout: 8 Fisher-Yates draw seeds + [8] window bases + [9] shuffle.
+N_SEEDS = 10
 
-def sample_indices_for8(flat, seeds, n_valid):
+
+def sample_indices_for8(flat, seeds, n_valid, block_h: int = BLOCK_H,
+                        window: int = WINDOW):
     """[..., 8] pool-slot samples for flat hypothesis ids (XLA replay of
-    the in-kernel sampler; identical results by construction)."""
-    return jnp.stack(
-        _fy_draws(flat.astype(jnp.uint32), seeds,
-                  jnp.asarray(n_valid, jnp.int32), k=8), axis=-1)
+    the in-kernel sampler; identical results by construction).  Window
+    bases are re-derived from ``flat // block_h`` (circular windows; see
+    ``sweep_large.window_bases``)."""
+    flat = jnp.asarray(flat)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    w_eff = jnp.minimum(jnp.int32(window), n_valid)
+    block = (flat // block_h).astype(jnp.uint32)
+    base_range = jnp.where(n_valid > jnp.int32(window), n_valid,
+                           jnp.int32(1))
+    wbase = _range_reduce(_fmix(block ^ seeds[8]), base_range)
+    draws = _fy_draws(flat.astype(jnp.uint32), seeds, w_eff, k=8)
+    return jnp.stack([_wrap_mod(wbase + d, n_valid) for d in draws],
+                     axis=-1)
 
 
 def minimal_f_canonical(x1s: jnp.ndarray, x2s: jnp.ndarray):
@@ -133,38 +147,52 @@ def minimal_f_canonical(x1s: jnp.ndarray, x2s: jnp.ndarray):
     return F * jax.lax.rsqrt(jnp.maximum(fn2, 1e-36)), valid
 
 
-def _make_kernel(n_score: int, block_h: int):
+def _make_kernel(n_score: int, block_h: int, n_rows: int):
     LAN = block_h // SUB
+    gather_rows = min(WINDOW, n_rows)
 
-    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fout_ref, iout_ref):
+    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, wb_ref, fout_ref,
+               iout_ref):
         thr_sq = thr_ref[0]
         n_valid = nv_ref[0]
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
         flat = pl.program_id(0) * block_h + sub * LAN + lane
         flatu = pltpu.bitcast(flat, jnp.uint32)
-        idx = _fy_draws(flatu, [seed_ref[j] for j in range(8)], n_valid,
+        # Draws live in the block's circular window of the shuffled pool
+        # (see sweep_large.window_bases; identical to unwindowed sampling
+        # whenever n_valid <= WINDOW).
+        wbase = wb_ref[pl.program_id(0)]
+        w_eff = jnp.minimum(jnp.int32(WINDOW), n_valid)
+        idx = _fy_draws(flatu, [seed_ref[j] for j in range(8)], w_eff,
                         k=8)
+        idx = [_wrap_mod(wbase + i, n_valid) for i in idx]
 
         # One-hot gather of the 8 sampled correspondences from the SMEM
-        # point table (valid-first order: idx < n_valid hits valid rows).
+        # point table — only the WINDOW rows a block can sample from
+        # (valid-first order: idx < n_valid hits valid rows).  UNROLL
+        # rows per trip: fori_loop trip overhead (~70 ns) would dominate.
         def gbody(n, acc):
-            a = pts_ref[n, 0]
-            b = pts_ref[n, 1]
-            c = pts_ref[n, 2]
-            d = pts_ref[n, 3]
-            out = []
-            for j in range(8):
-                sel = idx[j] == n
-                t = acc[j]
-                out.append((jnp.where(sel, a, t[0]), jnp.where(sel, b, t[1]),
-                            jnp.where(sel, c, t[2]),
-                            jnp.where(sel, d, t[3])))
-            return tuple(out)
+            acc = list(acc)
+            for u in range(UNROLL):
+                row = wbase + (UNROLL * n + u)
+                row = _wrap_mod(row, n_valid)
+                a = pts_ref[row, 0]
+                b = pts_ref[row, 1]
+                c = pts_ref[row, 2]
+                d = pts_ref[row, 3]
+                for j in range(8):
+                    sel = idx[j] == row
+                    t = acc[j]
+                    acc[j] = (jnp.where(sel, a, t[0]),
+                              jnp.where(sel, b, t[1]),
+                              jnp.where(sel, c, t[2]),
+                              jnp.where(sel, d, t[3]))
+            return tuple(acc)
 
         zero = jnp.zeros((SUB, LAN), jnp.float32)
         acc0 = tuple((zero, zero, zero, zero) for _ in range(8))
-        g = jax.lax.fori_loop(0, n_score, gbody, acc0)
+        g = jax.lax.fori_loop(0, gather_rows // UNROLL, gbody, acc0)
         u1 = [g[j][0] for j in range(8)]
         v1 = [g[j][1] for j in range(8)]
         u2 = [g[j][2] for j in range(8)]
@@ -245,11 +273,11 @@ def _make_kernel(n_score: int, block_h: int):
         F = [f * finv for f in F]
 
         # Sampson score over the full SMEM table: rows (u1, v1, u2, v2, w).
-        # Two points per trip for ILP (padded rows carry w=0).
+        # UNROLL points per trip (padded rows carry w=0).
         def sbody(n, carry):
             count, msac = carry
-            for half in (0, 1):
-                row = 2 * n + half
+            for u_i in range(UNROLL):
+                row = UNROLL * n + u_i
                 a = pts_ref[row, 0]
                 b = pts_ref[row, 1]
                 c = pts_ref[row, 2]
@@ -268,7 +296,7 @@ def _make_kernel(n_score: int, block_h: int):
                 msac = msac + jnp.minimum(e, thr_sq) * wp
             return count, msac
 
-        count, msac = jax.lax.fori_loop(0, (n_score + 1) // 2, sbody,
+        count, msac = jax.lax.fori_loop(0, n_rows // UNROLL, sbody,
                                         (zero, zero))
 
         big = jnp.float32(3.4e38)
@@ -320,7 +348,10 @@ def essential_ransac_sweep_large(
     maskf = point_mask.astype(jnp.float32)
     valid_b = maskf > 0
     n_valid = valid_b.sum().astype(jnp.int32)
-    order = jnp.argsort(jnp.logical_not(valid_b), stable=True)
+    seeds = _draw_seeds_n(seed, N_SEEDS)
+    # Valid-first permutation with shuffled valid rows (fresh per sweep,
+    # so block windows are uniform random subsets).
+    order = _shuffle_order_hash(seeds[9], maskf)
 
     # Shared-scale normalization over valid points (Sampson decisions are
     # unchanged — numerator and denominator both pick up s^2, threshold
@@ -337,18 +368,22 @@ def essential_ransac_sweep_large(
 
     pts = jnp.concatenate(
         [x1_n, x2_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
-    if n % 2:  # pad to even rows for the 2-point-unrolled score loop
-        pts = jnp.concatenate([pts, jnp.zeros((1, 5), jnp.float32)])
-    seeds = _draw_seeds_n(seed, 8)
+    # Pad to a multiple of UNROLL rows (padded rows carry w = 0).
+    n_rows = -(-n // UNROLL) * UNROLL
+    if n_rows > n:
+        pts = jnp.concatenate(
+            [pts, jnp.zeros((n_rows - n, 5), jnp.float32)])
+    wb = _window_bases_hash(seeds[8], n_blocks, n_valid, WINDOW)
 
     fout, iout = pl.pallas_call(
-        _make_kernel(n, block_h),
+        _make_kernel(n, block_h, n_rows),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # point table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr (squared units)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # window bases
         ],
         out_specs=(
             pl.BlockSpec((4, LAN), lambda i: (0, i),
@@ -362,9 +397,9 @@ def essential_ransac_sweep_large(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n_hyp * (1400 + 60 * n), transcendentals=0,
-            bytes_accessed=n_blocks * 24),
-    )(pts, thr, seeds, n_valid.reshape(1))
+            flops=n_hyp * (1400 + 40 * min(WINDOW, n_rows) + 45 * n),
+            transcendentals=0, bytes_accessed=n_blocks * 24),
+    )(pts, thr, seeds, n_valid.reshape(1), wb)
 
     inv_s2 = 1.0 / (s * s)
     msac = jnp.where(fout[jnp.array([0, 2])] >= jnp.float32(3e38),
@@ -377,6 +412,6 @@ def essential_ransac_sweep_large(
 def issue_slots_per_hyp(n_points: int) -> float:
     """Analytic VPU issue-slot count per hypothesis (SoL accounting; see
     ``sweep_essential.issue_slots_per_hyp``).  One-hot gather of 8 draws
-    x 4 columns costs 8 cmp + 32 sel = 40/row — the 8-point sample makes
-    gather, not scoring, the large-pool cost driver."""
-    return 1100 + 85 * n_points
+    x 4 columns costs 8 cmp + 32 sel = 40/row over the WINDOW rows a
+    block samples from; Sampson scoring ~45 per pool row."""
+    return 1100 + 40 * min(WINDOW, n_points) + 45 * n_points

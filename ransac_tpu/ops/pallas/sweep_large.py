@@ -45,6 +45,17 @@ BLOCK_H = 4096
 SUB = 8
 LAN = BLOCK_H // SUB
 MAX_POINTS = 1024  # SMEM point table: N * 5 * 4 B (<= 20 KB)
+#: Per-block sampling window (see ``window_bases``): each block draws its
+#: minimal samples inside a WINDOW-slot span of the shuffled pool, cutting
+#: the one-hot gather from O(N) to O(WINDOW) rows.  Marginal sampling
+#: stays uniform over 4-subsets because the pool order is re-shuffled per
+#: sweep; only hypotheses within one block are correlated.
+WINDOW = 64
+#: Point-loop unroll: a Mosaic ``fori_loop`` costs ~70 ns per trip
+#: REGARDLESS of body size (measured via tools/exp_large.py — the round-1
+#: "large-N cliff" was loop-trip overhead, not vector work), so the
+#: gather/score loops process UNROLL rows per trip.
+UNROLL = 16
 _INV24 = 1.0 / (1 << 24)
 
 
@@ -65,7 +76,48 @@ def _draw_seeds_n(seed, k: int):
 
 
 def _draw_seeds(seed):
-    return _draw_seeds_n(seed, 4)
+    """6 per-sweep seeds: 4 Fisher-Yates draws + window bases + shuffle."""
+    return _draw_seeds_n(seed, 6)
+
+
+def _window_bases_hash(seed_u32, n_blocks: int, n_valid, window: int):
+    wbits = _fmix(jnp.arange(n_blocks, dtype=jnp.uint32) ^ seed_u32)
+    base_range = jnp.where(n_valid > jnp.int32(window), n_valid,
+                           jnp.int32(1))
+    return _range_reduce(wbits, base_range)
+
+
+def _shuffle_order_hash(seed_u32, point_mask_f):
+    n = point_mask_f.shape[0]
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    keys = _fmix(iota ^ seed_u32) & jnp.uint32(0x7FFFFFFF)
+    invalid = jnp.uint32(0x80000000) + iota  # always after any valid key
+    sortkey = jnp.where(point_mask_f > 0, keys, invalid)
+    return jnp.argsort(sortkey)
+
+
+def _wrap_mod(x, n):
+    """x - n if x >= n (single circular wrap; inputs are < 2n)."""
+    return jnp.where(x >= n, x - n, x)
+
+
+def window_bases(seeds, n_blocks: int, n_valid, window: int = WINDOW):
+    """Per-block window base slots, computed in XLA (shared verbatim by
+    the kernel wrapper and the replay path).  Block b samples inside the
+    CIRCULAR span ``[wb[b], wb[b] + min(window, n_valid)) mod n_valid``
+    — circular so every pool slot lies in exactly ``window`` possible
+    windows (a non-wrapping base range undersamples the edge slots).
+    When ``n_valid <= window`` every base is 0 and sampling is identical
+    to the unwindowed sampler."""
+    return _window_bases_hash(seeds[4], n_blocks, n_valid, window)
+
+
+def shuffle_order(seeds, point_mask_f):
+    """Valid-first pool permutation with the valid rows SHUFFLED (counter
+    PRNG keyed by ``seeds[5]``), so every block window is a uniform random
+    subset of the valid points.  Returns ``order``: pool slot -> input
+    row; slot k < n_valid is a (random) valid row."""
+    return _shuffle_order_hash(seeds[5], point_mask_f)
 
 
 def _range_reduce(bits, n_range):
@@ -108,44 +160,77 @@ def _fy_draws(flat_u32, seeds, n_valid, k: int = 4):
     return idx
 
 
-def sample_indices_for(flat, seeds, n_valid):
+def sample_indices_for(flat, seeds, n_valid, window: int = WINDOW):
     """[..., 4] pool-slot samples for flat hypothesis ids (XLA replay of
-    the in-kernel sampler; identical results by construction)."""
-    return jnp.stack(
-        _fy_draws(flat.astype(jnp.uint32), seeds,
-                  jnp.asarray(n_valid, jnp.int32)), axis=-1)
+    the in-kernel sampler; identical results by construction).  Window
+    bases are re-derived from ``flat // BLOCK_H`` with the same hash the
+    wrapper feeds the kernel."""
+    flat = jnp.asarray(flat)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    w_eff = jnp.minimum(jnp.int32(window), n_valid)
+    block = (flat // BLOCK_H).astype(jnp.uint32)
+    base_range = jnp.where(n_valid > jnp.int32(window), n_valid,
+                           jnp.int32(1))
+    wbase = _range_reduce(_fmix(block ^ seeds[4]), base_range)
+    draws = _fy_draws(flat.astype(jnp.uint32), seeds, w_eff)
+    out = []
+    for d in draws:
+        s = wbase + d
+        out.append(jnp.where(s >= n_valid, s - n_valid, s))
+    return jnp.stack(out, axis=-1)
 
 
-def _make_kernel(n_score: int):
-    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fbest_ref, ibest_ref):
+def _make_kernel(n_score: int, n_rows: int):
+    """``n_score``: real pool rows scored; ``n_rows``: padded SMEM rows
+    (multiple of UNROLL; padded rows carry weight 0)."""
+    gather_rows = min(WINDOW, n_rows)
+
+    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, wb_ref, fbest_ref,
+               ibest_ref):
         thr_sq = thr_ref[0]
         n_valid = nv_ref[0]
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
         flat = pl.program_id(0) * BLOCK_H + sub * LAN + lane
         flatu = pltpu.bitcast(flat, jnp.uint32)
-        idx = _fy_draws(flatu, [seed_ref[j] for j in range(4)], n_valid)
+        # Draws live in the block's window [wbase, wbase + w_eff) of the
+        # shuffled pool (wbase = 0 whenever n_valid <= WINDOW, making the
+        # sampler identical to the unwindowed one).
+        wbase = wb_ref[pl.program_id(0)]
+        w_eff = jnp.minimum(jnp.int32(WINDOW), n_valid)
+        idx = _fy_draws(flatu, [seed_ref[j] for j in range(4)], w_eff)
+        idx = [jnp.where(wbase + i >= n_valid, wbase + i - n_valid,
+                         wbase + i) for i in idx]
 
         # One-hot gather of the 4 sampled (src, dst) pairs from the SMEM
-        # point table (valid-first order, so idx < n_valid only ever
-        # matches valid rows).
+        # point table — only the WINDOW rows a block can sample from
+        # (valid-first order, so idx < n_valid only ever matches valid
+        # rows).  UNROLL rows per trip: fori_loop trip overhead would
+        # otherwise dominate (~70 ns/trip measured).
         def gbody(n, acc):
-            x = pts_ref[n, 0]
-            y = pts_ref[n, 1]
-            px = pts_ref[n, 2]
-            py = pts_ref[n, 3]
-            out = []
-            for j in range(4):
-                sel = idx[j] == n
-                a = acc[j]
-                out.append((jnp.where(sel, x, a[0]), jnp.where(sel, y, a[1]),
-                            jnp.where(sel, px, a[2]),
-                            jnp.where(sel, py, a[3])))
-            return tuple(out)
+            acc = list(acc)
+            for u in range(UNROLL):
+                row = wbase + (UNROLL * n + u)
+                # Circular window: wrap once past n_valid (offsets beyond
+                # a small pool revisit early rows, harmlessly re-writing
+                # the same gathered values).
+                row = jnp.where(row >= n_valid, row - n_valid, row)
+                x = pts_ref[row, 0]
+                y = pts_ref[row, 1]
+                px = pts_ref[row, 2]
+                py = pts_ref[row, 3]
+                for j in range(4):
+                    sel = idx[j] == row
+                    a = acc[j]
+                    acc[j] = (jnp.where(sel, x, a[0]),
+                              jnp.where(sel, y, a[1]),
+                              jnp.where(sel, px, a[2]),
+                              jnp.where(sel, py, a[3]))
+            return tuple(acc)
 
         zero = jnp.zeros((SUB, LAN), jnp.float32)
         acc0 = tuple((zero, zero, zero, zero) for _ in range(4))
-        g = jax.lax.fori_loop(0, n_score, gbody, acc0)
+        g = jax.lax.fori_loop(0, gather_rows // UNROLL, gbody, acc0)
         sx = [g[j][0] for j in range(4)]
         sy = [g[j][1] for j in range(4)]
         dx = [g[j][2] for j in range(4)]
@@ -187,11 +272,12 @@ def _make_kernel(n_score: int):
                                 + B[r][2] * adjA[2][c])
 
         # Score the full SMEM point table: rows are (x, y, px, py, w).
-        # Two points per trip for ILP (padded rows carry w=0).
+        # UNROLL points per trip (padded rows carry w=0); the loop body
+        # is VPU-issue-bound, the unroll amortizes the trip overhead.
         def sbody(n, carry):
             count, msac = carry
-            for half in (0, 1):
-                row = 2 * n + half
+            for u_i in range(UNROLL):
+                row = UNROLL * n + u_i
                 x = pts_ref[row, 0]
                 y = pts_ref[row, 1]
                 px = pts_ref[row, 2]
@@ -208,7 +294,7 @@ def _make_kernel(n_score: int):
                 msac = msac + jnp.minimum(e2, thr_sq) * w_pt
             return count, msac
 
-        count, msac = jax.lax.fori_loop(0, (n_score + 1) // 2, sbody,
+        count, msac = jax.lax.fori_loop(0, n_rows // UNROLL, sbody,
                                         (zero, zero))
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
@@ -252,6 +338,16 @@ def homography_ransac_sweep_large(
     Sampling draws only from points with ``point_mask > 0`` (the engine's
     sample-validity semantics); scoring covers all points weighted by
     ``point_mask``.  Requires >= 4 valid points and N <= 1024.
+
+    Each block samples inside a WINDOW-slot span of the shuffled pool
+    (``window_bases``): the gather loop touches O(WINDOW) rows instead of
+    O(N) while scoring stays exhaustive, which with the UNROLL-deep loops
+    took this kernel 121.9 -> ~458 M hyp/s at N=256 on v5e (the VERDICT
+    r1 "large-N cliff"; measured via tools/exp_large.py).  Marginal
+    sample distribution is unchanged — a window of a freshly shuffled
+    pool is a uniform random subset — only same-block hypotheses are
+    correlated, and the winner replay (``sample_indices_for``) re-derives
+    window bases from the flat id.
     """
     n = src.shape[0]
     assert n <= MAX_POINTS, n
@@ -260,9 +356,10 @@ def homography_ransac_sweep_large(
     maskf = point_mask.astype(jnp.float32)
     valid_b = maskf > 0
     n_valid = valid_b.sum().astype(jnp.int32)
-    # Valid-first stable permutation: pool slot k < n_valid is the k-th
-    # valid input row.
-    order = jnp.argsort(jnp.logical_not(valid_b), stable=True)
+    seeds = _draw_seeds(seed)
+    # Valid-first permutation with shuffled valid rows: pool slot
+    # k < n_valid is a random valid input row (fresh per sweep).
+    order = shuffle_order(seeds, maskf)
 
     # Global O(1) normalization over valid points (threshold scales with
     # dst; msac rescaled back below — inlier decisions unchanged).
@@ -281,18 +378,23 @@ def homography_ransac_sweep_large(
 
     pts = jnp.concatenate(
         [src_n, dst_n, maskf[:, None]], axis=1).astype(jnp.float32)[order]
-    if n % 2:  # pad to even rows for the 2-point-unrolled score loop
-        pts = jnp.concatenate([pts, jnp.zeros((1, 5), jnp.float32)])
-    seeds = _draw_seeds(seed)
+    # Pad to a multiple of UNROLL rows (padded rows carry w = 0 and are
+    # never sampled: idx < n_valid <= n).
+    n_rows = -(-n // UNROLL) * UNROLL
+    if n_rows > n:
+        pts = jnp.concatenate(
+            [pts, jnp.zeros((n_rows - n, 5), jnp.float32)])
+    wb = window_bases(seeds, n_blocks, n_valid)
 
     fbest, ibest = pl.pallas_call(
-        _make_kernel(n),
+        _make_kernel(n, n_rows),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # point table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # window bases
         ],
         out_specs=(
             pl.BlockSpec((4, LAN), lambda i: (0, i),
@@ -306,9 +408,9 @@ def homography_ransac_sweep_large(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n_hyp * (250 + 34 * n), transcendentals=0,
-            bytes_accessed=n_blocks * 24),
-    )(pts, thr, seeds, n_valid.reshape(1))
+            flops=n_hyp * (250 + 20 * min(WINDOW, n_rows) + 29 * n),
+            transcendentals=0, bytes_accessed=n_blocks * 24),
+    )(pts, thr, seeds, n_valid.reshape(1), wb)
 
     inv_s2 = 1.0 / (s_dst * s_dst)
     msac = jnp.where(fbest[jnp.array([0, 2])] >= jnp.float32(3e38),
@@ -320,7 +422,7 @@ def homography_ransac_sweep_large(
 def issue_slots_per_hyp(n_points: int) -> float:
     """Analytic VPU issue-slot count per hypothesis (SoL accounting; see
     ``sweep.issue_slots_per_hyp`` for conventions).  The one-hot gather
-    costs 4 compares + 16 selects per pool row; the score loop ~29 slots
-    per row (6 FMA u,v,w + reciprocal + residual FMAs + two records).
-    Total ~= 285 + (20 + 29) n."""
-    return 285 + 49 * n_points
+    costs 4 compares + 16 selects per row over the WINDOW rows a block
+    samples from; the score loop ~29 slots per pool row (6 FMA u,v,w +
+    reciprocal + residual FMAs + two records)."""
+    return 285 + 20 * min(WINDOW, n_points) + 29 * n_points

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ransac_tpu.ops.pallas.sweep_large import (_draw_seeds_n, _fy_draws)
+from ransac_tpu.ops.pallas.sweep_large import (
+    UNROLL, WINDOW, _draw_seeds_n, _fmix, _fy_draws, _range_reduce,
+    _shuffle_order_hash, _window_bases_hash, _wrap_mod)
 from ransac_tpu.ops.pallas.sweep_pnp import _solve_quartic_vec
 
 BLOCK_H = 4096
@@ -44,19 +46,34 @@ SUB = 8
 MAX_POINTS = 512   # SMEM point table: N * 9 * 4 B (<= 18 KB)
 N_ROOTS = 4
 
+# Seed layout: 3 Fisher-Yates draw seeds + [3] window bases + [4] shuffle.
+N_SEEDS = 5
 
-def sample_indices3_for(flat, seeds, n_valid):
+
+def sample_indices3_for(flat, seeds, n_valid, block_h: int = BLOCK_H,
+                        window: int = WINDOW):
     """[..., 3] pool-slot samples for flat hypothesis ids (XLA replay of
-    the in-kernel sampler; identical results by construction)."""
-    return jnp.stack(
-        _fy_draws(flat.astype(jnp.uint32), seeds,
-                  jnp.asarray(n_valid, jnp.int32), k=3), axis=-1)
+    the in-kernel sampler; identical results by construction).  Window
+    bases are re-derived from ``flat // block_h`` (circular windows; see
+    ``sweep_large.window_bases``)."""
+    flat = jnp.asarray(flat)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    w_eff = jnp.minimum(jnp.int32(window), n_valid)
+    block = (flat // block_h).astype(jnp.uint32)
+    base_range = jnp.where(n_valid > jnp.int32(window), n_valid,
+                           jnp.int32(1))
+    wbase = _range_reduce(_fmix(block ^ seeds[3]), base_range)
+    draws = _fy_draws(flat.astype(jnp.uint32), seeds, w_eff, k=3)
+    return jnp.stack([_wrap_mod(wbase + d, n_valid) for d in draws],
+                     axis=-1)
 
 
-def _make_kernel(n_score: int, block_h: int):
+def _make_kernel(n_score: int, block_h: int, n_rows: int):
     LAN = block_h // SUB
+    gather_rows = min(WINDOW, n_rows)
 
-    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fbest_ref, ibest_ref):
+    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, wb_ref, fbest_ref,
+               ibest_ref):
         thr_sq = thr_ref[0]
         # ay = fy/fx anisotropy: pool py is pre-scaled host-side; each
         # pose's y-row is scaled below so du^2 + dv^2 is the true pixel
@@ -67,24 +84,36 @@ def _make_kernel(n_score: int, block_h: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
         flat = pl.program_id(0) * block_h + sub * LAN + lane
         flatu = pltpu.bitcast(flat, jnp.uint32)
-        idx = _fy_draws(flatu, [seed_ref[j] for j in range(3)], n_valid,
+        # Draws live in the block's circular window of the shuffled pool
+        # (see sweep_large.window_bases; identical to unwindowed sampling
+        # whenever n_valid <= WINDOW).
+        wbase = wb_ref[pl.program_id(0)]
+        w_eff = jnp.minimum(jnp.int32(WINDOW), n_valid)
+        idx = _fy_draws(flatu, [seed_ref[j] for j in range(3)], w_eff,
                         k=3)
+        idx = [_wrap_mod(wbase + i, n_valid) for i in idx]
 
         # One-hot gather of the 3 sampled (world point, bearing) rows from
-        # the SMEM table (valid-first order: idx < n_valid only ever
-        # matches valid rows).  Row layout: X Y Z fx fy fz px py w.
+        # the SMEM table — only the WINDOW rows a block can sample from
+        # (valid-first order: idx < n_valid only ever matches valid
+        # rows).  Row layout: X Y Z fx fy fz px py w.  UNROLL rows per
+        # trip (fori_loop trip overhead ~70 ns would dominate).
         def gbody(n, acc):
-            vals = [pts_ref[n, c] for c in range(6)]
-            out = []
-            for j in range(3):
-                sel = idx[j] == n
-                out.append(tuple(
-                    jnp.where(sel, vals[c], acc[j][c]) for c in range(6)))
-            return tuple(out)
+            acc = list(acc)
+            for u in range(UNROLL):
+                row = wbase + (UNROLL * n + u)
+                row = _wrap_mod(row, n_valid)
+                vals = [pts_ref[row, c] for c in range(6)]
+                for j in range(3):
+                    sel = idx[j] == row
+                    acc[j] = tuple(
+                        jnp.where(sel, vals[c], acc[j][c])
+                        for c in range(6))
+            return tuple(acc)
 
         zero = jnp.zeros((SUB, LAN), jnp.float32)
         acc0 = tuple((zero,) * 6 for _ in range(3))
-        g = jax.lax.fori_loop(0, n_score, gbody, acc0)
+        g = jax.lax.fori_loop(0, gather_rows // UNROLL, gbody, acc0)
         P = [[g[j][c] for c in range(3)] for j in range(3)]
         F = [[g[j][3 + c] for c in range(3)] for j in range(3)]
 
@@ -206,8 +235,8 @@ def _make_kernel(n_score: int, block_h: int):
 
         def sbody(nn, carry):
             out = carry
-            for half in (0, 1):
-                row = 2 * nn + half
+            for u_i in range(UNROLL):
+                row = UNROLL * nn + u_i
                 Xx = pts_ref[row, 0]
                 Xy = pts_ref[row, 1]
                 Xz = pts_ref[row, 2]
@@ -232,7 +261,7 @@ def _make_kernel(n_score: int, block_h: int):
             return out
 
         scores = jax.lax.fori_loop(
-            0, (n_score + 1) // 2, sbody,
+            0, n_rows // UNROLL, sbody,
             tuple((zero, zero) for _ in range(N_ROOTS)))
 
         bestA_msac = jnp.full((SUB, LAN), big)
@@ -317,7 +346,10 @@ def pnp_ransac_sweep_large(
     maskf = point_mask.astype(jnp.float32)
     valid_b = maskf > 0
     n_valid = valid_b.sum().astype(jnp.int32)
-    order = jnp.argsort(jnp.logical_not(valid_b), stable=True)
+    seeds = _draw_seeds_n(seed, N_SEEDS)
+    # Valid-first permutation with shuffled valid rows (fresh per sweep,
+    # so block windows are uniform random subsets).
+    order = _shuffle_order_hash(seeds[4], maskf)
 
     ones = jnp.ones_like(pix_n[..., :1])
     f = jnp.concatenate([pix_n, ones], -1)
@@ -326,19 +358,23 @@ def pnp_ransac_sweep_large(
     pix_s = pix_n * jnp.stack([jnp.float32(1.0), ay_f])  # py pre-scaled
     pts = jnp.concatenate(
         [Xw, f, pix_s, maskf[:, None]], axis=1).astype(jnp.float32)[order]
-    if n % 2:  # pad to even rows for the 2-point-unrolled score loop
-        pts = jnp.concatenate([pts, jnp.zeros((1, 9), jnp.float32)])
+    # Pad to a multiple of UNROLL rows (padded rows carry w = 0).
+    n_rows = -(-n // UNROLL) * UNROLL
+    if n_rows > n:
+        pts = jnp.concatenate(
+            [pts, jnp.zeros((n_rows - n, 9), jnp.float32)])
     thr = jnp.stack([jnp.asarray(threshold_n, jnp.float32) ** 2, ay_f])
-    seeds = _draw_seeds_n(seed, 3)
+    wb = _window_bases_hash(seeds[3], n_blocks, n_valid, WINDOW)
 
     fbest, ibest = pl.pallas_call(
-        _make_kernel(n, block_h),
+        _make_kernel(n, block_h, n_rows),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # point table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr^2
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-draw seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # window bases
         ],
         out_specs=(
             pl.BlockSpec((4, LAN), lambda i: (0, i),
@@ -352,10 +388,10 @@ def pnp_ransac_sweep_large(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n_hyp * (2500 + (6 + 4 * 25) * n),
+            flops=n_hyp * (2500 + 21 * min(WINDOW, n_rows) + 4 * 25 * n),
             transcendentals=n_hyp * 20,
             bytes_accessed=n_blocks * 24),
-    )(pts, thr, seeds, n_valid.reshape(1))
+    )(pts, thr, seeds, n_valid.reshape(1), wb)
 
     return (fbest[jnp.array([0, 2])], fbest[jnp.array([1, 3])], ibest,
             (seeds, n_valid, order))
@@ -363,6 +399,7 @@ def pnp_ransac_sweep_large(
 
 def issue_slots_per_hyp(n_points: int) -> float:
     """Analytic VPU issue-slot count per P3P sample (SoL accounting; see
-    ``sweep_pnp.issue_slots_per_hyp``).  One-hot gather of 3 draws x 5
-    columns ~18/row; 4-root single-pass scoring ~110/row."""
-    return 960 + 128 * n_points
+    ``sweep_pnp.issue_slots_per_hyp``).  One-hot gather of 3 draws x 6
+    columns ~21/row over the WINDOW rows a block samples from; 4-root
+    single-pass scoring ~110/row."""
+    return 960 + 21 * min(WINDOW, n_points) + 110 * n_points

@@ -377,9 +377,11 @@ def test_large_essential_sweep_finds_consensus():
     counts0 = np.asarray(counts[0])
     b = int(np.argmin(msac0))
     assert counts0[b] >= 0.85 * n_in
-    # Counter replay: winner's 8-point sample is distinct and outlier-free.
+    # Counter replay: winner's 8-point sample is distinct and outlier-free
+    # (block_h must match the sweep call so window bases replay).
     pool = sample_indices_for8(
-        jnp.asarray(np.asarray(flat[0])[b])[None], seeds, n_valid)[0]
+        jnp.asarray(np.asarray(flat[0])[b])[None], seeds, n_valid,
+        block_h=512)[0]
     sample = np.asarray(order)[np.asarray(pool)]
     assert len(set(sample.tolist())) == 8
     assert all(i < n_in for i in sample)
@@ -455,7 +457,8 @@ def test_large_pnp_sweep_finds_consensus():
     # Counter replay: winner's 3-point sample is distinct; exact re-solve
     # of the winning hypothesis reproduces the consensus.
     p = int(np.asarray(packed[0])[b])
-    pool = sample_indices3_for(jnp.asarray(p >> 2)[None], seeds, n_valid)[0]
+    pool = sample_indices3_for(jnp.asarray(p >> 2)[None], seeds, n_valid,
+                               block_h=512)[0]
     sample = np.asarray(order)[np.asarray(pool)]
     assert len(set(sample.tolist())) == 3
     R4, t4, v4 = pnp_mod.p3p_grunert(
@@ -498,3 +501,49 @@ def test_large_pnp_engine_wrapper_and_mask():
     ang = float(geodesic_distance(Rm, jnp.asarray(R_true)))
     assert ang < 0.01, ang
     np.testing.assert_allclose(np.asarray(t), t_true, atol=0.05)
+
+
+def test_large_sweep_window_sampling_uniform_marginals():
+    """Window-restricted sampling (sweep_large.WINDOW): each hypothesis
+    draws inside its block's window of the shuffled pool, but the
+    MARGINAL distribution over input rows must stay ~uniform across
+    blocks, and draws must be distinct."""
+    from ransac_tpu.ops.pallas import sweep_large as SL
+
+    n, n_blocks = 256, 64
+    seeds = SL._draw_seeds(123)
+    maskf = jnp.ones(n, jnp.float32)
+    order = np.asarray(SL.shuffle_order(seeds, maskf))
+    assert sorted(order.tolist()) == list(range(n))  # a permutation
+    flat = jnp.arange(n_blocks * SL.BLOCK_H, dtype=jnp.int32)
+    pool = np.asarray(SL.sample_indices_for(flat, seeds, jnp.int32(n)))
+    # Distinct draws per hypothesis.
+    assert (np.diff(np.sort(pool, axis=1), axis=1) != 0).all()
+    # Within-window: every draw within WINDOW of its block's base
+    # (windows are circular mod n).
+    wb = np.asarray(SL.window_bases(seeds, n_blocks, jnp.int32(n)))
+    blocks = np.asarray(flat) // SL.BLOCK_H
+    off = (pool - wb[blocks][:, None]) % n
+    assert off.min() >= 0 and off.max() < SL.WINDOW
+    # Marginal over input rows ~ uniform (chi-square-ish bound).
+    rows = order[pool.ravel()]
+    counts = np.bincount(rows, minlength=n)
+    expect = pool.size / n
+    assert counts.min() > 0.5 * expect
+    assert counts.max() < 2.0 * expect
+
+
+def test_large_sweep_small_pool_matches_unwindowed_sampler():
+    """For pools <= WINDOW the windowed sampler must degrade to plain
+    Fisher-Yates over n_valid (window base identically 0)."""
+    from ransac_tpu.ops.pallas import sweep_large as SL
+
+    seeds = SL._draw_seeds(7)
+    flat = jnp.arange(4 * SL.BLOCK_H, dtype=jnp.int32)
+    nv = jnp.int32(13)
+    wb = np.asarray(SL.window_bases(seeds, 4, nv))
+    assert (wb == 0).all()
+    pool = np.asarray(SL.sample_indices_for(flat, seeds, nv))
+    ref = np.asarray(jnp.stack(
+        SL._fy_draws(flat.astype(jnp.uint32), seeds, nv), axis=-1))
+    np.testing.assert_array_equal(pool, ref)

@@ -67,17 +67,29 @@ def _fy_draws(flat_u32, seeds, n_valid, k: int = 4):
 
 def _make_kernel(n_score: int, *, score_unroll=2, gather_unroll=1,
                  divfree=False, msac="div", fake_points=False,
-                 skip_gather=False, skip_score=False):
-    """Variant kernel. msac in {"div", "nr", "approx", "none"}."""
+                 skip_gather=False, skip_score=False, window=0):
+    """Variant kernel. msac in {"div", "rsqrt", "none"}; window=W>0 makes
+    each block sample its 4 points inside a per-block W-slot window."""
 
-    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, fbest_ref, ibest_ref):
+    def kernel(pts_ref, thr_ref, seed_ref, nv_ref, wb_ref, fbest_ref,
+               ibest_ref):
         thr_sq = thr_ref[0]
         n_valid = nv_ref[0]
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LAN), 1)
         flat = pl.program_id(0) * BLOCK_H + sub * LAN + lane
         flatu = pltpu.bitcast(flat, jnp.uint32)
-        idx = _fy_draws(flatu, [seed_ref[j] for j in range(4)], n_valid)
+        if window:
+            # Per-block scalar window base (precomputed in XLA); draws
+            # restricted to [0, min(W, n_valid)).
+            wbase = wb_ref[pl.program_id(0)]
+            w_eff = jnp.minimum(jnp.int32(window), n_valid)
+            idx = _fy_draws(flatu, [seed_ref[j] for j in range(4)], w_eff)
+            idx = [wbase + i for i in idx]
+        else:
+            wbase = jnp.int32(0)
+            idx = _fy_draws(flatu, [seed_ref[j] for j in range(4)],
+                            n_valid)
 
         zero = jnp.zeros((SUB, LAN), jnp.float32)
 
@@ -95,10 +107,13 @@ def _make_kernel(n_score: int, *, score_unroll=2, gather_unroll=1,
             dx = [zero + 0.15 * (j + 1) for j in range(4)]
             dy = [zero + 0.25 * (j + 1) for j in range(4)]
         else:
+            n_gather = window if window else n_score
+
             def gbody(n, acc):
                 out = list(acc)
                 for g in range(gather_unroll):
-                    row = gather_unroll * n + g
+                    off = gather_unroll * n + g
+                    row = (wbase + off) if window else off
                     x, y, px, py, _ = load_row(row)
                     for j in range(4):
                         sel = idx[j] == row
@@ -110,7 +125,7 @@ def _make_kernel(n_score: int, *, score_unroll=2, gather_unroll=1,
                 return tuple(out)
 
             acc0 = tuple((zero, zero, zero, zero) for _ in range(4))
-            g = jax.lax.fori_loop(0, n_score // gather_unroll, gbody, acc0)
+            g = jax.lax.fori_loop(0, n_gather // gather_unroll, gbody, acc0)
             sx = [g[j][0] for j in range(4)]
             sy = [g[j][1] for j in range(4)]
             dx = [g[j][2] for j in range(4)]
@@ -169,13 +184,9 @@ def _make_kernel(n_score: int, *, score_unroll=2, gather_unroll=1,
                     if msac == "none":
                         msac_v = msac_v + e2w * w_pt
                     else:
-                        if msac == "approx":
-                            inv = pltpu.reciprocal(
-                                jnp.maximum(w2, 1e-24), approx=True)
-                        elif msac == "nr":
-                            inv = pltpu.reciprocal(
-                                jnp.maximum(w2, 1e-24), approx=True)
-                            inv = inv * (2.0 - jnp.maximum(w2, 1e-24) * inv)
+                        if msac == "rsqrt":
+                            r = jax.lax.rsqrt(jnp.maximum(w2, 1e-30))
+                            inv = r * r
                         else:
                             inv = 1.0 / jnp.maximum(w2, 1e-24)
                         e2 = e2w * inv
@@ -232,12 +243,17 @@ def run_variant(seed, pts, n_valid, n_hyp, n, kw_items, n_rep=1):
     thr = jnp.asarray([0.02], jnp.float32)
 
     def call_one(s):
-        seeds = _fmix(s + jnp.arange(1, 5, dtype=jnp.uint32)
+        seeds = _fmix(s + jnp.arange(1, 6, dtype=jnp.uint32)
                       * jnp.uint32(0x9E3779B9))
+        window = kw.get("window", 0)
+        w_eff = jnp.minimum(jnp.int32(window), n_valid)
+        wbits = _fmix(jnp.arange(n_blocks, dtype=jnp.uint32) ^ seeds[4])
+        wb = _range_reduce(wbits, n_valid - w_eff + 1) if window else \
+            jnp.zeros(n_blocks, jnp.int32)
         fbest, ibest = pl.pallas_call(
             _make_kernel(n, **kw),
             grid=(n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
             out_specs=(
                 pl.BlockSpec((4, LAN), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -248,7 +264,7 @@ def run_variant(seed, pts, n_valid, n_hyp, n, kw_items, n_rep=1):
                 jax.ShapeDtypeStruct((4, n_blocks * LAN), jnp.float32),
                 jax.ShapeDtypeStruct((2, n_blocks * LAN), jnp.int32),
             ),
-        )(pts, thr, seeds, n_valid.reshape(1))
+        )(pts, thr, seeds, n_valid.reshape(1), wb)
         return jnp.min(ibest[0])
 
     def body(_, carry):
@@ -303,10 +319,16 @@ VARIANTS = {
     "g16s16": dict(gather_unroll=16, score_unroll=16),
     "g32s32": dict(gather_unroll=32, score_unroll=32),
     "g16s16_divfree": dict(gather_unroll=16, score_unroll=16,
-                           divfree=True, msac="nr"),
+                           divfree=True, msac="rsqrt"),
     "g32s32_divfree": dict(gather_unroll=32, score_unroll=32,
-                           divfree=True, msac="nr"),
+                           divfree=True, msac="rsqrt"),
     "full_unroll": dict(gather_unroll=256, score_unroll=256),
+    "win64": dict(window=64, gather_unroll=16, score_unroll=16),
+    "win64_divfree": dict(window=64, gather_unroll=16, score_unroll=16,
+                          divfree=True, msac="rsqrt"),
+    "win64_divfree_s32": dict(window=64, gather_unroll=32,
+                              score_unroll=32, divfree=True,
+                              msac="rsqrt"),
 }
 
 if __name__ == "__main__":
