@@ -38,6 +38,24 @@ if REPO_ROOT not in sys.path:
 
 REFERENCE_DIR = "/root/reference"
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    Running the whole suite in one process accumulates hundreds of
+    XLA:CPU executables; this jaxlib build then segfaults inside
+    ``backend_compile_and_load`` partway through (reproduced twice at the
+    same suite position, in different ops' compiles — position-dependent
+    resource exhaustion, not a specific program).  Dropping the caches at
+    module boundaries keeps the live-executable count bounded; the cost
+    is only cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)

@@ -68,6 +68,7 @@ def test_sol_profiler_reports():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference data absent")
+@pytest.mark.slow
 def test_cli_localize_end_to_end(tmp_path):
     out = tmp_path / "zOut.jpg"
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO_ROOT)

@@ -3,6 +3,7 @@
 import cv2
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ransac_tpu import analytics
 from ransac_tpu.models import calibration as calib
@@ -31,6 +32,7 @@ def synth_views(n_views=6, cols=9, rows=6, noise=0.1, seed=0,
     return K, dist, obj, np.stack(views), poses
 
 
+@pytest.mark.slow
 def test_zhang_matches_cv2():
     K_true, dist_true, obj, views, _ = synth_views()
     res = calib.calibrate_camera(jnp.asarray(obj, jnp.float32),

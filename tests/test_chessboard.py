@@ -3,10 +3,15 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ransac_tpu.features.chessboard import find_chessboard_corners
 from ransac_tpu.models import calibration as calib
 from ransac_tpu.ops import homography as hops
+
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
 
 
 def render_checkerboard(H, cols=9, rows=6, square_px=40, shape=(480, 640),

@@ -279,6 +279,7 @@ def synth_two_view(seed=0, n=40, noise=0.0):
     return X, x1, x2, R, t
 
 
+@pytest.mark.slow
 def test_eight_point_essential_and_recover_pose():
     X, x1, x2, R_true, t_true = synth_two_view(21)
     E = epipolar.eight_point(jnp.asarray(x1), jnp.asarray(x2))
@@ -290,6 +291,7 @@ def test_eight_point_essential_and_recover_pose():
     np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_triangulation_exact():
     X, x1, x2, R, t = synth_two_view(22, n=15)
     Xr = epipolar.triangulate_dlt(
@@ -321,6 +323,7 @@ def test_translation_utilities():
                                np.asarray(origin), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nullspace_last_fast_matches_svd():
     """Inverse-iteration nullspace (register solve, no LAPACK) agrees with
     the SVD answer across clean / noisy / wide batched DLT-like systems."""

@@ -19,8 +19,13 @@ from tests.test_localize_parity import IMAGE_SIZE, load_scene
 GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
                       "1898_location_golden.csv")
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference data absent")
+pytestmark = [
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference data absent"),
+    # Compile-heavy module: excluded from the quick loop
+    # (pytest -m 'not slow'); the default no-filter run includes it.
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

@@ -12,6 +12,10 @@ from ransac_tpu.pipelines.intrinsics_search import search_intrinsics
 from ransac_tpu.utils.config import RansacConfig
 from tests.conftest import reference_available
 
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
+
 # The reference's hardcoded real dataset (testpro-K.py:198-232): pyproj
 # UTM-50N landmark coords, the 1898 pixel annotations it used, and the
 # surveyed camera position.

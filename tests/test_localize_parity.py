@@ -22,8 +22,13 @@ from ransac_tpu.pipelines.localize import localize
 from ransac_tpu.utils.config import LocalizeConfig
 from tests.conftest import REFERENCE_DIR, reference_available
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference data absent")
+pytestmark = [
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference data absent"),
+    # Compile-heavy module: excluded from the quick loop
+    # (pytest -m 'not slow'); the default no-filter run includes it.
+    pytest.mark.slow,
+]
 
 FEATURES = os.path.join(REFERENCE_DIR, "feature_points_with_annotations.csv")
 CAMERAS = os.path.join(REFERENCE_DIR, "potential_camera_locations.csv")

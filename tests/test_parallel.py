@@ -12,6 +12,10 @@ from ransac_tpu.pipelines.localize import score_candidates
 from ransac_tpu.utils.config import LocalizeConfig, RansacConfig
 from ransac_tpu.ops import homography as hops
 
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
+
 
 def synth_problem(seed=0, n=13, c=16):
     rng = np.random.default_rng(seed)

@@ -11,6 +11,10 @@ from ransac_tpu.models import ransac as R
 from ransac_tpu.ops import homography, projection, rotation
 from ransac_tpu.utils.config import RansacConfig
 
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
+
 
 def planted_homography(seed, n=40, outlier_frac=0.3, noise=0.5):
     rng = np.random.default_rng(seed)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ransac_tpu.models import ransac as R
 from ransac_tpu.models.ransac import _as_seed, _select_best
@@ -27,6 +28,7 @@ def test_as_seed_accepts_typed_key_and_int():
     assert np.asarray(s2).shape == ()
 
 
+@pytest.mark.slow
 def test_sweep_wrapper_accepts_typed_key():
     rng = np.random.default_rng(0)
     H_true = np.array([[900.0, 40.0, 500.0], [-15.0, 850.0, 400.0],
@@ -63,6 +65,7 @@ def test_sweep_wrapper_respects_point_mask():
     assert got[:9].sum() >= 8
 
 
+@pytest.mark.slow
 def test_degenerate_candidate_cannot_hijack_argmin():
     """A candidate placed AT a landmark (d_east ~ 0 -> garbage projection,
     potentially singular H / NaN scores) must not beat valid candidates."""

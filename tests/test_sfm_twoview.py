@@ -3,12 +3,17 @@ tracks: ATE-style accuracy checks (SURVEY.md §6 'pose within ATE bound')."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ransac_tpu.ops import projection as proj
 from ransac_tpu.ops.rotation import exp_so3, geodesic_distance, log_so3
 from ransac_tpu.pipelines.sfm import incremental_sfm
 from ransac_tpu.pipelines.twoview import two_view_pipeline
 from ransac_tpu.utils.config import TwoViewConfig
+
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
 
 
 def render_dots(points3d, R, t, K, shape=(240, 320)):

@@ -4,12 +4,17 @@ engine; scaling harness smoke."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ransac_tpu.models import ransac as R
 from ransac_tpu.ops import homography as hops
 from ransac_tpu.ops.pallas.sweep import (BLOCK_H, homography_ransac_sweep,
                                          unpack_sample)
 from ransac_tpu.utils.config import RansacConfig
+
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
 
 
 def planted(seed=0, n=13, n_out=3, noise=1.0):

@@ -1,10 +1,15 @@
 """Viz smoke tests: every plot function renders headless to a file."""
 
 import numpy as np
+import pytest
 
 from ransac_tpu import analytics, viz
 from ransac_tpu.io import dem as demio
 from ransac_tpu.ops.geodesy import SceneFrame
+
+# Compile-heavy module: excluded from the quick loop (pytest -m 'not slow');
+# the default no-filter run still includes it.
+pytestmark = pytest.mark.slow
 
 
 def test_all_plot_functions_render(tmp_path):
