@@ -73,9 +73,12 @@ def _best_of_reps(fn, mkargs, iters, reps=3):
 
 
 def bench_sweep(n_hyp, iters):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
+    from ransac_tpu.ops.pallas.roofline import _time_best
     from ransac_tpu.ops.pallas.sweep import homography_ransac_sweep
 
     src, dst, mask = _problem()
@@ -88,7 +91,26 @@ def bench_sweep(n_hyp, iters):
         best = jnp.argmin(msac[0])
         return msac[0][best], counts[0][best], packed[0][best]
 
-    dt, out = _best_of_reps(step, lambda i: (i,), iters)
+    # Dependency-chained repetitions inside ONE jitted program: per-call
+    # host dispatch through the axon tunnel costs ~2.5 ms — 3x the
+    # kernel's own device time at 2^22 — so pipelined per-call timing
+    # measures the tunnel, not the chip.  Each repetition's seed depends
+    # on the previous winner (counts >= 0 always, so the term is 0 at
+    # runtime but the compiler cannot reorder or elide the sweeps).
+    @functools.partial(jax.jit, static_argnames=("n_rep",))
+    def run(seed0, n_rep):
+        def body(_, carry):
+            s, acc = carry
+            _, cnt, _ = step(s)
+            return (s + jnp.int32(1) + (cnt < -1.0).astype(jnp.int32),
+                    acc + cnt)
+        _, acc = jax.lax.fori_loop(
+            0, n_rep, body, (seed0, jnp.float32(0.0)))
+        return acc
+
+    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=3, small=1,
+                    large=1 + max(iters, 4))
+    out = step(0)
     assert float(out[1]) >= 10, "consensus not found"
     return n_hyp / dt
 

@@ -149,7 +149,7 @@ class SolProfiler:
 
     def measure(self, name: str, fn, *args, flops: float = 0.0,
                 bytes_moved: float = 0.0, issued_ops: float = 0.0,
-                unit: str = "vpu", iters: int = 10, vary=None,
+                unit: str = "vpu", iters: int = 30, vary=None,
                 reps: int = 3):
         """Time a jitted callable (excluding compile) and record SoL.
 
@@ -161,6 +161,13 @@ class SolProfiler:
         ``vary`` (i -> args tuple) to change the input each iteration —
         repeat-calling with identical inputs through the axon tunnel can
         be served from a result cache and report impossible throughput.
+
+        NOTE: per-call host dispatch through the tunnel costs ~1-2.5 ms
+        that this protocol can only amortize over ``iters`` — the table
+        is an upper bound on per-call latency, not pure device time.
+        Ground-truth device throughput for the hot kernels comes from
+        the dependency-chained benchmarks (``tools/bench_large.py``,
+        ``bench.py``), recorded in PERF.md.
         """
         import numpy as _np
 
