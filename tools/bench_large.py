@@ -147,8 +147,10 @@ def bench_twoview(hw=1024):
             return frame(seed0 + s).astype(jnp.int32)
         return chain(one, n_rep)
 
-    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=3, small=1,
-                    large=4)
+    # large=17: (large-small) x frame time must dwarf multi-ms tunnel
+    # jitter, and frame time is only a few ms.
+    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=5, small=1,
+                    large=17)
     print(f"twoview_frame {hw}: {dt*1e3:.3f} ms {1.0/dt:.1f} frames/s",
           flush=True)
 
