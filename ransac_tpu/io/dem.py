@@ -189,6 +189,10 @@ def load_geotiff(path: str, zone: int = 50,
             m = t.get(34264)
             if m is None:
                 raise ValueError(f"{path}: no geotransform tags")
+            if abs(m[1]) > 1e-12 or abs(m[4]) > 1e-12:
+                # Mirror the native reader: a rotated/sheared raster has
+                # no axis-aligned (lon, lat) grid to interpolate on.
+                raise ValueError(f"{path}: rotated rasters unsupported")
             gt = (m[3], m[0], m[1], m[7], m[4], m[5])
         else:
             gt = (tiepoint[3], scale[0], 0.0, tiepoint[4], 0.0, -scale[1])

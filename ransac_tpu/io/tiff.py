@@ -67,10 +67,12 @@ def _read_ifd_entries(buf, off, bo, big):
             raw = buf[voff:voff + count]
             entries[tag] = raw.split(b"\0")[0].decode("latin-1")
             continue
-        if typ == 5 or typ == 10:  # RATIONAL
+        if typ == 5 or typ == 10:  # RATIONAL / SRATIONAL
             fmt = "i" if typ == 10 else "I"
             vals = struct.unpack_from(bo + fmt * (2 * count), buf, voff)
-            entries[tag] = tuple(vals[2 * k] / max(vals[2 * k + 1], 1)
+            if any(vals[2 * k + 1] == 0 for k in range(count)):
+                continue  # zero denominator: skip the tag, don't guess
+            entries[tag] = tuple(vals[2 * k] / vals[2 * k + 1]
                                  for k in range(count))
             continue
         fmt = _TYPE_FMT.get(typ)

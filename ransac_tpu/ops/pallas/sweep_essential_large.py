@@ -332,7 +332,9 @@ def essential_ransac_sweep_large(
 
     ``threshold_sq`` is the Sampson bound in squared normalized units.
     Returns ``(msac [2, B], counts [2, B], flat_id [2, B], aux)`` with
-    B = n_hyp / 8; row 0 = min-MSAC records, row 1 = lexicographic
+    B = max(n_hyp, min_blocks * block_h) / 8 (small n_hyp is rounded up
+    to MIN_WINDOWED_BLOCKS independent windows when n > WINDOW);
+    row 0 = min-MSAC records, row 1 = lexicographic
     (max count, min MSAC).  ``aux = (seeds, n_valid, order)`` for replay
     via ``sample_indices_for8`` + ``order`` mapping.  Requires >= 8
     valid points and N <= 1024.
@@ -343,7 +345,12 @@ def essential_ransac_sweep_large(
         block_h = BLOCK_H
     assert block_h % SUB == 0
     LAN = block_h // SUB
-    n_blocks = max(n_hyp // block_h, 1)
+    # >= MIN_WINDOWED_BLOCKS independent windows whenever the pool can
+    # exceed one window (same-block window failures are fully correlated;
+    # see sweep_large).
+    from ransac_tpu.ops.pallas.sweep_large import MIN_WINDOWED_BLOCKS
+    min_blocks = MIN_WINDOWED_BLOCKS if n > WINDOW else 1
+    n_blocks = max(n_hyp // block_h, min_blocks)
 
     maskf = point_mask.astype(jnp.float32)
     valid_b = maskf > 0

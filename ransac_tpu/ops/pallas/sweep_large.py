@@ -51,6 +51,10 @@ MAX_POINTS = 1024  # SMEM point table: N * 5 * 4 B (<= 20 KB)
 #: stays uniform over 4-subsets because the pool order is re-shuffled per
 #: sweep; only hypotheses within one block are correlated.
 WINDOW = 64
+#: Minimum grid blocks whenever n > WINDOW, so a run always draws from
+#: several independent windows (same-block window failures are fully
+#: correlated; see the wrapper comment).
+MIN_WINDOWED_BLOCKS = 4
 #: Point-loop unroll: a Mosaic ``fori_loop`` costs ~70 ns per trip
 #: REGARDLESS of body size (measured via tools/exp_large.py — the round-1
 #: "large-N cliff" was loop-trip overhead, not vector work), so the
@@ -329,7 +333,10 @@ def homography_ransac_sweep_large(
     """Run the large-N fused sweep.
 
     Returns sublane-reduced records ``(msac [2, B], counts [2, B],
-    flat_id [2, B], aux)`` with B = n_hyp / 8; row 0 selects by min MSAC,
+    flat_id [2, B], aux)`` with B = max(n_hyp, min_blocks * BLOCK_H) / 8
+    (min_blocks = MIN_WINDOWED_BLOCKS when n > WINDOW, else 1 — a small
+    n_hyp is rounded up so no single unlucky window can doom a run);
+    row 0 selects by min MSAC,
     row 1 by lexicographic (max count, min MSAC).  ``aux = (seeds,
     n_valid, order)`` lets the caller replay any flat id's sample with
     ``sample_indices_for`` (pool slots) and map slots to input rows via
@@ -351,7 +358,13 @@ def homography_ransac_sweep_large(
     """
     n = src.shape[0]
     assert n <= MAX_POINTS, n
-    n_blocks = max(n_hyp // BLOCK_H, 1)
+    # Window failures are fully correlated WITHIN a block (one 64-slot
+    # window per block): with a single block, one unlucky window that
+    # holds < 4 inliers would doom the whole run.  Whenever the pool can
+    # exceed one window, run at least MIN_WINDOWED_BLOCKS independent
+    # windows (ADVICE r2; cheap at the measured ~450 M hyp/s).
+    min_blocks = MIN_WINDOWED_BLOCKS if n > WINDOW else 1
+    n_blocks = max(n_hyp // BLOCK_H, min_blocks)
 
     maskf = point_mask.astype(jnp.float32)
     valid_b = maskf > 0

@@ -322,7 +322,9 @@ def pnp_ransac_sweep_large(
     """Run the large-N fused P3P sweep on normalized coords.
 
     Returns sublane-reduced records ``(msac [2, B], counts [2, B],
-    packed [2, B], aux)`` with B = n_hyp / 8; row 0 selects by min MSAC,
+    packed [2, B], aux)`` with B = max(n_hyp, min_blocks * block_h) / 8
+    (small n_hyp is rounded up to MIN_WINDOWED_BLOCKS independent windows
+    when n > WINDOW); row 0 selects by min MSAC,
     row 1 by lexicographic (max count, min MSAC).  Each record is the best
     across its hypothesis's four P3P roots; ``packed = flat_id * 4 +
     root``.  ``aux = (seeds, n_valid, order)`` lets the caller replay any
@@ -341,7 +343,12 @@ def pnp_ransac_sweep_large(
         block_h = BLOCK_H
     assert block_h % SUB == 0
     LAN = block_h // SUB
-    n_blocks = max(n_hyp // block_h, 1)
+    # >= MIN_WINDOWED_BLOCKS independent windows whenever the pool can
+    # exceed one window (same-block window failures are fully correlated;
+    # see sweep_large).
+    from ransac_tpu.ops.pallas.sweep_large import MIN_WINDOWED_BLOCKS
+    min_blocks = MIN_WINDOWED_BLOCKS if n > WINDOW else 1
+    n_blocks = max(n_hyp // block_h, min_blocks)
 
     maskf = point_mask.astype(jnp.float32)
     valid_b = maskf > 0

@@ -115,7 +115,10 @@ def measure_frontend_scaling(
             base_fps = fps
         points.append(ScalePoint(
             n_devices=nd, mesh_shape=dict(mesh.shape),
-            candidates_per_s=fps, efficiency=fps / (base_fps * nd)))
+            candidates_per_s=fps,
+            # Normalize by the FIRST measured count so an explicit
+            # device_counts like [2, 4, 8] reports 100% at its base point.
+            efficiency=fps * device_counts[0] / (base_fps * nd)))
     return points
 
 

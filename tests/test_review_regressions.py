@@ -138,3 +138,28 @@ def test_fastio_stray_single_field_row(tmp_path):
     assert nums.shape[0] == len(names) == 3
     assert names == ["alpha", "beta", "gamma"]
     np.testing.assert_allclose(nums[:, 1], [10, 20, 30])
+
+
+def test_large_sweep_min_independent_windows():
+    """ADVICE r2 (medium): with the default n_hyp == BLOCK_H and a pool
+    larger than one sampling WINDOW, a run must span several independent
+    windows (same-block window failures are fully correlated).  Checked
+    via eval_shape so no kernel executes."""
+    import functools
+
+    from ransac_tpu.ops.pallas import sweep_large as SL
+
+    def shapes(n, n_hyp):
+        fn = functools.partial(
+            SL.homography_ransac_sweep_large, 0, n_hyp=n_hyp,
+            interpret=True)
+        out = jax.eval_shape(
+            fn, jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32), 75.0)
+        return out[0].shape
+    # pool > WINDOW: rounded up to MIN_WINDOWED_BLOCKS blocks
+    assert shapes(200, SL.BLOCK_H) == (
+        2, SL.MIN_WINDOWED_BLOCKS * SL.BLOCK_H // 8)
+    # pool <= WINDOW: windowing is inert, no round-up
+    assert shapes(48, SL.BLOCK_H) == (2, SL.BLOCK_H // 8)

@@ -291,3 +291,25 @@ def test_load_geotiff_full_pipeline_compatible(tmp_path):
     # Interpolation at the grid points reproduces the raster (row flip).
     v = float(dem.interpolate(lat_top - 0.0005 * 2, lon0 + 0.0005 * 3))
     assert v == pytest.approx(float(z[2, 3]), abs=1e-3)
+
+
+def test_srational_signed_and_zero_denominator():
+    """ADVICE r2: SRATIONAL must divide by the SIGNED denominator (a
+    negative denominator flips the quotient's sign) and a zero
+    denominator must skip the tag rather than clamp to 1."""
+    # Hand-build one little-endian classic IFD with three out-of-line
+    # rational tags; data area starts at byte 64.
+    buf = bytearray(96)
+    struct.pack_into("<H", buf, 0, 3)  # 3 entries
+    for i, (tag, typ, voff) in enumerate(
+            [(100, 10, 64), (101, 10, 72), (102, 5, 80)]):
+        struct.pack_into("<HHII", buf, 2 + 12 * i, tag, typ, 1, voff)
+    struct.pack_into("<I", buf, 2 + 36, 0)      # next IFD
+    struct.pack_into("<ii", buf, 64, -3, -2)    # -3/-2 = 1.5
+    struct.pack_into("<ii", buf, 72, 5, 0)      # zero denominator
+    struct.pack_into("<II", buf, 80, 7, 2)      # 7/2 = 3.5
+    entries, nxt = tifflib._read_ifd_entries(bytes(buf), 0, "<", False)
+    assert entries[100] == (1.5,)
+    assert 101 not in entries
+    assert entries[102] == (3.5,)
+    assert nxt == 0
