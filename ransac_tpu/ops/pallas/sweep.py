@@ -151,7 +151,15 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool):
                 H[3 * r + c] = (B[r][0] * adjA[0][c] + B[r][1] * adjA[1][c]
                                 + B[r][2] * adjA[2][c])
 
-        # Score all points.
+        # Score all points — division-deferred form (round-3 measured 12%
+        # kernel win; the score loop is 84% of kernel time):
+        #   inlier  <=>  |p_proj/w - p|^2 <= thr^2
+        #           <=>  |p_proj - p*w|^2 <= thr^2 * w^2      (exact, f32)
+        # and the MSAC term min(e2, thr^2) = min(r2, t) / w^2 uses ONE
+        # approximate reciprocal instead of a guarded exact divide.  For
+        # degenerate w (w^2 floored at 1e-30) min(r2, t) = t, so the
+        # contribution is exactly thr^2 — the correct outlier penalty —
+        # and never NaN.
         count = jnp.zeros((SUB, LAN), jnp.float32)
         msac = jnp.zeros((SUB, LAN), jnp.float32)
         for n in range(n_score):
@@ -163,12 +171,14 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool):
             u = H[0] * x + H[1] * y + H[2]
             v = H[3] * x + H[4] * y + H[5]
             w = H[6] * x + H[7] * y + H[8]
-            inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-            du = u * inv_w - px
-            dv = v * inv_w - py
-            e2 = du * du + dv * dv
-            count = count + jnp.where(e2 <= thr_sq, w_pt, 0.0)
-            msac = msac + jnp.minimum(e2, thr_sq) * w_pt
+            a = u - px * w
+            b = v - py * w
+            r2 = a * a + b * b
+            w2 = jnp.maximum(w * w, jnp.float32(1e-30))
+            t = thr_sq * w2
+            iw2 = pl.reciprocal(w2, approx=True)
+            count = count + jnp.where(r2 <= t, w_pt, 0.0)
+            msac = msac + jnp.minimum(r2, t) * iw2 * w_pt
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         count = jnp.where(valid, count, -1.0)
@@ -341,11 +351,16 @@ def issue_slots_per_hyp(n_points: int) -> float:
     - tree gather: 16 columns x ~(n-1) selects + 16 mask ops      16n
     - projective-frame solve: 2 frames (~115 incl. FMA x2) +
       adjugate (~36) + H contraction (~54)                        ~205
-    - score loop: n x (6 FMA for u,v,w = 12 + recip ~4 + 2 FMA
-      residual = 4 + e2 ~3 + count ~3 + msac ~3)                  ~29n
+    - score loop (division-deferred, round 3): n x (6 FMA u,v,w
+      = 12 + 2 FMA a,b = 4 + r2 mul+FMA = 3 + w2/t/max = 3 +
+      approx recip = 1 + count cmp/sel/add = 3 + msac min/mul/
+      FMA = 4)                                                   ~30n
     - two-record block reduction, amortized over BLOCK_H          ~0
 
-    Total ~= 285 + 45n.  Estimated from the kernel source op-by-op;
-    good to ~+-25% (stated in PERF.md).
+    Total ~= 285 + 46n.  Estimated from the kernel source op-by-op;
+    good to ~+-25% (stated in PERF.md).  Round-3 decomposition
+    (tools/exp_small.py) measured the score loop at 84% of kernel time
+    with sampling+gather+solve nearly latency-hidden, so the effective
+    per-hypothesis cost is closer to the score term alone.
     """
-    return 285 + 45 * n_points
+    return 285 + 46 * n_points

@@ -104,12 +104,17 @@ def _make_kernel(n_score: int):
             u = H[0] * x + H[1] * y + H[2]
             v = H[3] * x + H[4] * y + H[5]
             w = H[6] * x + H[7] * y + H[8]
-            inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-            du = u * inv_w - px
-            dv = v * inv_w - py
-            e2 = du * du + dv * dv
-            count = count + jnp.where(e2 <= thr_sq, wp, 0.0)
-            msac = msac + jnp.minimum(e2, thr_sq) * wp
+            # Division-deferred scoring (see ops.pallas.sweep): exact
+            # inlier test in algebraic form, MSAC via one approx
+            # reciprocal; degenerate w contributes exactly thr^2.
+            a = u - px * w
+            b = v - py * w
+            r2 = a * a + b * b
+            w2 = jnp.maximum(w * w, jnp.float32(1e-30))
+            t = thr_sq * w2
+            iw2 = pl.reciprocal(w2, approx=True)
+            count = count + jnp.where(r2 <= t, wp, 0.0)
+            msac = msac + jnp.minimum(r2, t) * iw2 * wp
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         packed = (idx[0] + idx[1] * 16 + idx[2] * 256 + idx[3] * 4096)

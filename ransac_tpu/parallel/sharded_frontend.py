@@ -126,29 +126,37 @@ def matches_to_tracks(xy, idx2, mvalid, min_len: int = 2) -> dict:
     """
     xy = np.asarray(xy)
     idx2 = np.asarray(idx2)
-    mvalid = np.asarray(mvalid)
+    mvalid = np.asarray(mvalid).astype(bool)
     F, K = xy.shape[:2]
-    track_of = {}          # (frame, kp) -> track id
-    obs = {}               # tid -> list[(frame, kp)]
+    # Vectorized label propagation (VERDICT r2 next-steps #5: the per-match
+    # Python dict loop was the scaling bottleneck at hundreds of frames):
+    # one numpy step per frame carries track labels from frame f's matched
+    # keypoints to their targets in frame f+1; unlabeled matched keypoints
+    # open new tracks in ascending-k order.  For duplicate targets the
+    # lowest-k chain wins, matching the old first-wins dict order (the
+    # dropped duplicate source would only ever form a min_len<2 singleton,
+    # which was filtered anyway).
+    label = np.full((F, K), -1, np.int64)
     next_tid = 0
-    for f in range(F - 1):
-        for k in np.nonzero(mvalid[f])[0]:
-            a = (f, int(k))
-            b = (f + 1, int(idx2[f, k]))
-            tid = track_of.get(a)
-            if tid is None:
-                tid = next_tid
-                next_tid += 1
-                track_of[a] = tid
-                obs[tid] = [a]
-            if b in track_of:
-                continue  # keep first chain (mutual-NN makes dups rare)
-            track_of[b] = tid
-            obs[tid].append(b)
-    tracks = {}
-    for tid, members in obs.items():
-        if len(members) < min_len:
+    for f in range(min(F - 1, len(mvalid))):
+        ks = np.nonzero(mvalid[f])[0]
+        if ks.size == 0:
             continue
-        for f, k in members:
-            tracks[(f, tid)] = xy[f, k].astype(np.float64)
-    return tracks
+        tgt = idx2[f, ks]
+        _, first = np.unique(tgt, return_index=True)
+        ks = ks[np.sort(first)]
+        tgt = idx2[f, ks]
+        lab = label[f, ks]
+        new = lab < 0
+        n_new = int(new.sum())
+        lab[new] = next_tid + np.arange(n_new)
+        next_tid += n_new
+        label[f, ks] = lab
+        label[f + 1, tgt] = lab
+    fs, kk = np.nonzero(label >= 0)
+    tids = label[fs, kk]
+    counts = np.bincount(tids, minlength=max(next_tid, 1))
+    sel = counts[tids] >= min_len
+    uvs = xy[fs, kk].astype(np.float64)
+    return {(int(f), int(t)): uv
+            for f, t, uv in zip(fs[sel], tids[sel], uvs[sel])}

@@ -35,6 +35,22 @@ from ransac_tpu.utils.logging import get_logger
 log = get_logger("sfm")
 
 
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Next power-of-two size >= n: per-frame correspondence counts vary
+    continuously, and without bucketing every registration/triangulation
+    call retraces + recompiles its kernels for a fresh static shape (the
+    dominant cost of a long trajectory on the host).  Padded rows carry
+    weight 0 (RANSAC) or are sliced off (triangulation)."""
+    return max(minimum, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _pad_rows(a: np.ndarray, m: int) -> np.ndarray:
+    pad = m - a.shape[0]
+    if pad <= 0:
+        return a
+    return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+
 @dataclass
 class SfmMap:
     K: np.ndarray
@@ -71,6 +87,31 @@ class SfmMap:
             self.camera_poses[f] = cams[i]
         for i, t in enumerate(track_ids):
             self.points[t] = pts[i]
+
+
+def prune_observations(p: BAProblem, max_px: float) -> tuple[BAProblem, int]:
+    """Zero the weight of observations whose current reprojection residual
+    exceeds ``max_px`` (standard SfM outlier rejection before a final BA
+    polish: RANSAC gates registration, but chained wrong matches can still
+    carry high-residual observations into the problem).  Returns the
+    pruned problem and the number of observations dropped."""
+    cams = np.asarray(p.cameras, np.float64)
+    pts = np.asarray(p.points, np.float64)
+    K = np.asarray(p.K, np.float64)
+    oc = np.asarray(p.obs_cam)
+    op = np.asarray(p.obs_pt)
+    uv = np.asarray(p.obs_uv, np.float64)
+    w = np.asarray(p.obs_w, np.float64)
+    R = np.stack([np.asarray(exp_so3(jnp.asarray(c[:3], jnp.float32)))
+                  for c in cams])
+    xc = np.einsum("oij,oj->oi", R[oc], pts[op]) + cams[oc, 3:]
+    z = np.where(np.abs(xc[:, 2]) < 1e-12, 1e-12, xc[:, 2])
+    proj_uv = (K[:2, :2] @ (xc[:, :2] / z[:, None]).T).T + K[:2, 2]
+    r = np.linalg.norm(proj_uv - uv, axis=1)
+    bad = (r > max_px) | (xc[:, 2] <= 0)
+    n_drop = int((bad & (w > 0)).sum())
+    w_new = np.where(bad, 0.0, w)
+    return p._replace(obs_w=jnp.asarray(w_new, jnp.float32)), n_drop
 
 
 def incremental_sfm(
@@ -147,8 +188,10 @@ def incremental_sfm(
     if not f_boot_done:
         common = sorted(t for t in {t for f, t in tracks if f == f0}
                         if (f1, t) in tracks)
-        x1p = np.stack([tracks[(f0, t)] for t in common])
-        x2p = np.stack([tracks[(f1, t)] for t in common])
+        nb = _bucket(len(common))
+        wts = jnp.asarray(_pad_rows(np.ones(len(common), np.float32), nb))
+        x1p = _pad_rows(np.stack([tracks[(f0, t)] for t in common]), nb)
+        x2p = _pad_rows(np.stack([tracks[(f1, t)] for t in common]), nb)
         x1 = proj.normalize_pixels(jnp.asarray(x1p, jnp.float32), Kj)
         x2 = proj.normalize_pixels(jnp.asarray(x2p, jnp.float32), Kj)
         e_cfg = RansacConfig(
@@ -156,12 +199,12 @@ def incremental_sfm(
             num_hypotheses=ransac_cfg.num_hypotheses, exhaustive=False,
             selection=ransac_cfg.selection)
         key, k1 = jax.random.split(key)
-        if engine == "sweep" and len(common) <= 1024:
+        if engine == "sweep" and nb <= 1024:
             eres = ransac_mod.ransac_essential_sweep(
-                x1, x2, jnp.ones(len(common)), e_cfg, k1)
+                x1, x2, wts, e_cfg, k1)
         else:
             eres = ransac_mod.ransac_essential(
-                x1, x2, jnp.ones(len(common)), e_cfg, k1)
+                x1, x2, wts, e_cfg, k1)
         R, t, X, n = epipolar.recover_pose(
             eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
         inl = np.asarray(eres.inlier_mask)
@@ -183,15 +226,17 @@ def incremental_sfm(
             log.warning("frame %d: only %d map correspondences, skipping",
                         f, len(vis))
             continue
-        Xw = np.stack([m.points[t] for t in vis])
-        uv = np.stack([tracks[(f, t)] for t in vis])
+        nb = _bucket(len(vis))
+        Xw = _pad_rows(np.stack([m.points[t] for t in vis]), nb)
+        uv = _pad_rows(np.stack([tracks[(f, t)] for t in vis]), nb)
+        w_vis = jnp.asarray(_pad_rows(np.ones(len(vis), np.float32), nb))
         key, k2 = jax.random.split(key)
         pnp_fn = (ransac_mod.ransac_pnp_sweep
-                  if engine == "sweep" and len(vis) <= 512
+                  if engine == "sweep" and nb <= 512
                   else ransac_mod.ransac_pnp)
         res = pnp_fn(
             jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
-            Kj, jnp.ones(len(vis)), ransac_cfg, k2,)
+            Kj, w_vis, ransac_cfg, k2,)
         Rf, tf = ransac_mod.pnp_pose_from_result(res)
         m.camera_poses[f] = np.concatenate(
             [np.asarray(log_so3(Rf), np.float64),
@@ -205,11 +250,12 @@ def incremental_sfm(
             t for t in {t for g, t in tracks if g == f}
             if t not in m.points and (prev, t) in tracks)
         if new_tracks:
-            xp = proj.normalize_pixels(jnp.asarray(
-                np.stack([tracks[(prev, t)] for t in new_tracks]),
+            nt = _bucket(len(new_tracks))
+            xp = proj.normalize_pixels(jnp.asarray(_pad_rows(
+                np.stack([tracks[(prev, t)] for t in new_tracks]), nt),
                 jnp.float32), Kj)
-            xf = proj.normalize_pixels(jnp.asarray(
-                np.stack([tracks[(f, t)] for t in new_tracks]),
+            xf = proj.normalize_pixels(jnp.asarray(_pad_rows(
+                np.stack([tracks[(f, t)] for t in new_tracks]), nt),
                 jnp.float32), Kj)
             pose_p = m.camera_poses[prev]
             pose_f = m.camera_poses[f]
@@ -220,13 +266,25 @@ def incremental_sfm(
                 exp_so3(jnp.asarray(pose_f[:3], jnp.float32)),
                 jnp.asarray(pose_f[3:], jnp.float32))
             Xn = np.asarray(Xn, np.float64)
+            # Reprojection gate (in normalized units): tracks chained
+            # through a wrong match triangulate far off their rays; plain
+            # cheirality admits them and one bad map point then corrupts
+            # PnP and BA downstream.  2x the RANSAC pixel threshold.
+            gate_n = 2.0 * ransac_cfg.threshold / float(K[0, 0])
+            xp_n = np.asarray(xp, np.float64)
+            xf_n = np.asarray(xf, np.float64)
             for i, tr in enumerate(new_tracks):
-                # Cheirality in both views.
-                for pose in (pose_p, pose_f):
+                ok = True
+                for pose, xn in ((pose_p, xp_n[i]), (pose_f, xf_n[i])):
                     Rv = np.asarray(exp_so3(jnp.asarray(pose[:3], jnp.float32)))
-                    if (Rv @ Xn[i] + pose[3:])[2] <= 0:
+                    xc = Rv @ Xn[i] + pose[3:]
+                    if xc[2] <= 0:
+                        ok = False
                         break
-                else:
+                    if np.linalg.norm(xc[:2] / xc[2] - xn) > gate_n:
+                        ok = False
+                        break
+                if ok:
                     m.points[tr] = Xn[i]
 
         # ---- periodic global BA

@@ -1,0 +1,223 @@
+"""One-command multi-frame SLAM demo at scale (VERDICT r2 next-steps #5).
+
+Composes the full multi-frame story end-to-end on a synthetic but
+honest-to-geometry scene: render F frames of a 3-D point field from a
+translating camera -> ``parallel.sharded_frontend.distributed_frontend``
+(keyframe-sharded detect/describe/match) -> vectorized
+``matches_to_tracks`` -> ``pipelines.sfm.incremental_sfm`` (essential
+bootstrap, P3P registration, triangulation, periodic BA) -> final
+``ba.schur_cg.bundle_adjust_cg`` polish — then reports the BASELINE.md
+"frames/s at N devices" table plus reconstruction quality (similarity-
+aligned ATE against the ground-truth trajectory).
+
+The reference has no multi-frame capability at all (one historical photo
+per run, /root/reference/main_v1.py:846); this is the framework's
+generalization of its localization pipeline to trajectories.
+
+Run: ``python -m ransac_tpu.cli sfm --demo 64`` (any frame count divisible
+by the device count; on CPU the 8-device virtual mesh exercises the real
+sharded program — the table says so).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ransac_tpu.utils.config import (BundleAdjustConfig, RansacConfig,
+                                     TwoViewConfig)
+from ransac_tpu.utils.logging import get_logger
+
+log = get_logger("sfm_demo")
+
+
+def synth_trajectory_frames(F: int = 64, H: int = 160, W: int = 200,
+                            n_pts: int = 600, seed: int = 0):
+    """Render F frames of a random 3-D point field from a translating
+    camera (R = I, baseline along +x with mild vertical sway): each point
+    carries a fixed random 5x5 patch, so Harris + patch descriptors track
+    it across views while depth spread (z in [4, 9]) provides real
+    parallax for the essential-matrix bootstrap.
+
+    Returns ``(images [F,H,W] f32, K [3,3], t_gt [F,3] camera centers,
+    X_gt [n_pts,3])``.
+    """
+    rng = np.random.default_rng(seed)
+    f_pix = 0.9 * W
+    K = np.array([[f_pix, 0.0, W / 2.0],
+                  [0.0, f_pix, H / 2.0],
+                  [0.0, 0.0, 1.0]])
+    step = 0.045
+    centers = np.stack([
+        step * np.arange(F),
+        0.02 * np.sin(np.arange(F) * 0.4),
+        0.01 * np.cos(np.arange(F) * 0.3)], axis=1)
+    span_x = 4.0 + step * F
+    X = np.stack([
+        rng.uniform(-2.0, -2.0 + span_x + 4.0, n_pts),
+        rng.uniform(-1.6, 1.6, n_pts),
+        rng.uniform(4.0, 9.0, n_pts)], axis=1)
+    pats = rng.uniform(0.5, 2.0, (n_pts, 5, 5))
+    pats *= rng.choice([-1.0, 1.0], (n_pts, 1, 1))
+
+    imgs = rng.normal(0.0, 0.03, (F, H, W)).astype(np.float32)
+    for f in range(F):
+        p = X - centers[f]
+        uv = (K @ p.T).T
+        uv = uv[:, :2] / uv[:, 2:]
+        ui = np.round(uv[:, 0]).astype(int)
+        vi = np.round(uv[:, 1]).astype(int)
+        ok = (ui >= 3) & (ui < W - 3) & (vi >= 3) & (vi < H - 3)
+        for j in np.nonzero(ok)[0]:
+            imgs[f, vi[j] - 2:vi[j] + 3, ui[j] - 2:ui[j] + 3] += pats[j]
+    return imgs, K, centers, X
+
+
+def _umeyama_ate(est: np.ndarray, gt: np.ndarray) -> float:
+    """RMS trajectory error after similarity (sim3) alignment — the
+    standard monocular ATE (gauge + scale are unobservable)."""
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    e, g = est - mu_e, gt - mu_g
+    U, S, Vt = np.linalg.svd(g.T @ e / len(est))
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1.0
+    R = U @ D @ Vt
+    var_e = (e ** 2).sum() / len(est)
+    s = np.trace(np.diag(S) @ D) / max(var_e, 1e-30)
+    res = g - s * e @ R.T
+    return float(np.sqrt((res ** 2).sum(1).mean()))
+
+
+def _cam_centers(poses: dict) -> np.ndarray:
+    from ransac_tpu.ops.rotation import exp_so3
+
+    out = []
+    for f in sorted(poses):
+        rvec, tvec = poses[f][:3], poses[f][3:]
+        R = np.asarray(exp_so3(jnp.asarray(rvec)))
+        out.append(-R.T @ tvec)
+    return np.stack(out)
+
+
+def _time_frontend(images, mesh, cfg, iters=3):
+    """Wall-clock frames/s of the sharded front end (warm, readback)."""
+    from ransac_tpu.parallel.sharded_frontend import distributed_frontend
+
+    out = distributed_frontend(images, mesh, cfg)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = distributed_frontend(images, mesh, cfg)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
+    dt = (time.perf_counter() - t0) / iters
+    return images.shape[0] / dt, out
+
+
+def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
+             ba_every: int = 8) -> dict:
+    """Run the full demo; returns a metrics dict and logs the table."""
+    from ransac_tpu.ba.schur_cg import bundle_adjust_cg, from_ba_problem
+    from ransac_tpu.parallel.mesh import make_mesh
+    from ransac_tpu.parallel.sharded_frontend import matches_to_tracks
+    from ransac_tpu.pipelines.sfm import incremental_sfm
+
+    t_all = time.perf_counter()
+    imgs_np, K, t_gt, _ = synth_trajectory_frames(F=frames, seed=seed)
+    images = jnp.asarray(imgs_np)
+    cfg = TwoViewConfig(max_keypoints=256, nms_radius=3, patch_size=8)
+    platform = jax.devices()[0].platform
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32)
+                         if d <= n_avail and frames % d == 0]
+
+    # --- 1. keyframe-sharded front end, frames/s at N devices.
+    rows = []
+    out = None
+    base_fps = None
+    for nd in device_counts:
+        mesh = make_mesh(nd, data=nd, model=1)
+        fps, out = _time_frontend(images, mesh, cfg)
+        if base_fps is None:
+            base_fps = fps
+        eff = fps * device_counts[0] / (base_fps * nd)
+        rows.append((nd, fps, eff))
+    xy, valid, desc, idx2, mvalid = out
+
+    # --- 2. vectorized track chaining (host).
+    t0 = time.perf_counter()
+    tracks = matches_to_tracks(xy, idx2, mvalid, min_len=3)
+    t_tracks = time.perf_counter() - t0
+    n_obs = len(tracks)
+    n_tracks = len({t for _, t in tracks})
+
+    # --- 3. incremental SfM over the full trajectory.
+    t0 = time.perf_counter()
+    m = incremental_sfm(
+        tracks, K, list(range(frames)),
+        ransac_cfg=RansacConfig(threshold=4.0, num_hypotheses=2048,
+                                exhaustive=False),
+        ba_cfg=BundleAdjustConfig(max_iters=8),
+        ba_every=ba_every, seed=seed)
+    t_sfm = time.perf_counter() - t0
+
+    # --- 4. outlier pruning + final matrix-free PCG Schur BA polish.
+    from ransac_tpu.pipelines.sfm import prune_observations
+
+    p, frames_l, track_ids = m.as_ba_problem(tracks)
+    p, n_drop = prune_observations(p, max_px=8.0)
+    sp = from_ba_problem(p)
+    t0 = time.perf_counter()
+    res = bundle_adjust_cg(sp, BundleAdjustConfig(max_iters=16))
+    jax.block_until_ready(res.cameras)
+    t_ba = time.perf_counter() - t0
+    m.apply_ba(res, frames_l, track_ids)
+
+    n_reg = len(m.camera_poses)
+    est = _cam_centers(m.camera_poses)
+    gt = t_gt[sorted(m.camera_poses)]
+    ate = _umeyama_ate(est, gt)
+    baseline = float(np.linalg.norm(t_gt[-1] - t_gt[0]))
+    t_total = time.perf_counter() - t_all
+
+    lines = []
+    virt = platform == "cpu"
+    lines.append(f"multi-frame SLAM demo: {frames} frames, "
+                 f"{n_tracks} tracks / {n_obs} observations"
+                 + (" [virtual single-host devices: validates the sharded"
+                    " program, not real speedup]" if virt else ""))
+    lines.append(f"{'devices':>8} {'mesh':>12} {'frames/s':>10} {'eff':>6}")
+    for nd, fps, eff in rows:
+        lines.append(f"{nd:>8} {f'data={nd}':>12} {fps:>10.1f} "
+                     f"{eff * 100:>5.0f}%")
+    lines.append(f"track chaining: {n_obs} obs in {t_tracks * 1e3:.1f} ms "
+                 f"({n_obs / max(t_tracks, 1e-9) / 1e6:.2f} M obs/s, "
+                 f"vectorized)")
+    lines.append(f"incremental SfM: {n_reg}/{frames} frames registered in "
+                 f"{t_sfm:.2f} s ({n_reg / max(t_sfm, 1e-9):.1f} frames/s, "
+                 f"BA every {ba_every})")
+    n_slots = int(np.sum(np.asarray(sp.slot_w) > 0))
+    rms_px = float(np.sqrt(float(res.cost) / max(n_slots, 1)))
+    lines.append(f"final CG-Schur BA: {len(frames_l)} cams / "
+                 f"{len(track_ids)} pts / {n_slots} slots "
+                 f"({n_drop} outlier obs pruned) in {t_ba:.2f} s  "
+                 f"cost {float(res.cost):.4g} (~{rms_px:.2f} px RMS)")
+    lines.append(f"ATE (sim3-aligned): {ate:.4f} "
+                 f"({100 * ate / max(baseline, 1e-9):.2f}% of the "
+                 f"{baseline:.2f}-unit trajectory)")
+    lines.append(f"total wall time: {t_total:.1f} s")
+    report = "\n".join(lines)
+    print(report, flush=True)
+    return {
+        "frames": frames, "registered": n_reg, "tracks": n_tracks,
+        "observations": n_obs, "frontend": rows, "t_tracks_s": t_tracks,
+        "t_sfm_s": t_sfm, "t_ba_s": t_ba, "ba_cost": float(res.cost),
+        "ate": ate, "ate_frac": ate / max(baseline, 1e-9),
+        "platform": platform, "report": report,
+    }

@@ -255,8 +255,8 @@ def bench_kernel(name, lan, nomask):
         return acc
 
     t0 = time.time()
-    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=3, small=1,
-                    large=5)
+    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=5, small=1,
+                    large=17)
     fbest, _ = run_variant(jnp.int32(7), src, dst, mask, 75.0, N_HYP,
                            N_POINTS, lan=lan, nomask=nomask)
     mx = float(jnp.max(fbest[3]))
@@ -295,8 +295,8 @@ def bench_step(name, lean):
         return acc
 
     t0 = time.time()
-    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=3, small=1,
-                    large=5)
+    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=5, small=1,
+                    large=17)
     print(f"{name:10s} {dt*1e3:7.3f} ms  {N_HYP/dt/1e9:6.3f} B hyp/s"
           f"  (compile+run {time.time()-t0:.0f}s)", flush=True)
 
