@@ -24,6 +24,87 @@ import sys
 import numpy as np
 
 
+def _cmd_calibrate(args):
+    """Chessboard calibration pipeline (the reference's calibration-first
+    flow, testpro.py:947-956): detect inner corners on each board image,
+    run the Zhang + joint-LM calibration, report K / distortion / RMS and
+    save an .npz that ``localize --calibration`` consumes."""
+    import glob as globmod
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ransac_tpu.features.chessboard import find_chessboard_corners
+    from ransac_tpu.models.calibration import (calibrate_camera,
+                                               checkerboard_object_points)
+
+    paths = sorted(p for pat in args.images for p in globmod.glob(pat))
+    if not paths:
+        print("error: no images matched", file=sys.stderr)
+        return 2
+    views, used, size = [], [], None
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("L"), np.float32)
+        if size is None:
+            size = img.shape
+        found, corners = find_chessboard_corners(img, args.cols, args.rows)
+        if not found:
+            print(f"  {p}: corners NOT found, skipping")
+            continue
+        views.append(corners)
+        used.append(p)
+        print(f"  {p}: {args.cols}x{args.rows} corners found")
+    if len(views) < 3:
+        print(f"error: only {len(views)} usable views (need >= 3)",
+              file=sys.stderr)
+        return 2
+    obj = checkerboard_object_points(args.cols, args.rows,
+                                     args.square_size)
+    res = calibrate_camera(jnp.asarray(obj),
+                           jnp.asarray(np.stack(views), jnp.float32))
+    K = np.asarray(res.K, np.float64)
+    dist = np.asarray(res.dist, np.float64)
+    print(f"calibrated from {len(views)} views: "
+          f"fx={K[0, 0]:.2f} fy={K[1, 1]:.2f} "
+          f"cx={K[0, 2]:.2f} cy={K[1, 2]:.2f}")
+    print(f"distortion [k1 k2 p1 p2 k3]: "
+          + " ".join(f"{d:+.5f}" for d in dist))
+    print(f"reprojection RMS: {float(res.rms):.4f} px")
+    if args.out:
+        np.savez(args.out, K=K, dist=dist, rms=float(res.rms),
+                 height=size[0], width=size[1],
+                 views=np.array(used))
+        print(f"wrote {args.out}")
+    return 0
+
+
+def _apply_calibration(feats, calib_path):
+    """Undistort the annotated feature pixels with a saved calibration
+    (testpro.py undistorts the whole image before the search,
+    testpro.py:954-955; undistorting the annotation coordinates is the
+    pipeline-equivalent operation).  Returns the calibrated K."""
+    import jax.numpy as jnp
+
+    from ransac_tpu.models.calibration import undistort_points
+
+    d = np.load(calib_path, allow_pickle=True)
+    K = np.asarray(d["K"], np.float64)
+    dist = np.asarray(d["dist"], np.float64)
+    annotated = (np.abs(feats.pixels) > 0).any(axis=1)
+    und = np.asarray(undistort_points(
+        jnp.asarray(feats.pixels[annotated], jnp.float32),
+        jnp.asarray(K, jnp.float32), jnp.asarray(dist, jnp.float32)),
+        np.float64)
+    shift = float(np.abs(und - feats.pixels[annotated]).max()) \
+        if annotated.any() else 0.0
+    feats.pixels = feats.pixels.copy()
+    feats.pixels[annotated] = und
+    print(f"calibration {calib_path}: undistorted "
+          f"{int(annotated.sum())} feature pixels "
+          f"(max shift {shift:.2f} px)")
+    return K
+
+
 def _cmd_localize(args):
     from ransac_tpu.io.tables import (build_scene, read_camera_locations,
                                       read_points_data)
@@ -34,6 +115,8 @@ def _cmd_localize(args):
     feats = read_points_data(
         args.features, args.pixel_x, args.pixel_y, scale=args.scale,
         z_mode=args.z_mode)
+    if getattr(args, "calibration", ""):
+        _apply_calibration(feats, args.calibration)
     cams = read_camera_locations(args.cameras,
                                  observer_height=args.observer_height)
     scene = build_scene(feats, cams)
@@ -356,13 +439,19 @@ def _cmd_profile(args):
         """On TPU: chained ground-truth timing (measure_chained) — every
         row of the committed SoL artifact uses the same protocol as the
         driver bench (VERDICT r2 weak #1).  On CPU (no tunnel hazards,
-        interpret-mode kernels): cheap pipelined wall-clock."""
-        if platform == "tpu":
-            prof.measure_chained(name, step_scalar, large=large, **kw)
-        else:
-            prof.measure(name, jax.jit(step_scalar), jnp.int32(0),
-                         iters=2, reps=1, vary=lambda i: (jnp.int32(i),),
-                         **kw)
+        interpret-mode kernels): cheap pipelined wall-clock.  A row that
+        fails (e.g. compile OOM at an aggressive H) is reported and
+        skipped so the rest of the artifact still lands."""
+        try:
+            if platform == "tpu":
+                prof.measure_chained(name, step_scalar, large=large, **kw)
+            else:
+                prof.measure(name, jax.jit(step_scalar), jnp.int32(0),
+                             iters=2, reps=1,
+                             vary=lambda i: (jnp.int32(i),), **kw)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            print(f"# {name}: FAILED ({type(e).__name__}): "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
     src = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 2)).astype(np.float32))
     dst = jnp.asarray(rng.uniform(0, 1000, (n, 2)).astype(np.float32))
@@ -378,8 +467,13 @@ def _cmd_profile(args):
 
         from ransac_tpu.ops.pallas import sweep as sweep_mod
 
+        # Fused rows claim no algorithmic-FLOP figure: their op diet is
+        # mixed (selects/compares/hashes retire no FLOPs) and the legacy
+        # per-hyp FLOP guesses exceeded the measured ceiling (round 3).
+        # sol_issue against the audited per-kernel slot counts is the
+        # honest utilization metric for these kernels.
         bench_entry("fused_ransac_sweep", sweep,
-                    flops=H * (700 + 22 * n), bytes_moved=H // 85,
+                    flops=0.0, bytes_moved=H // 85,
                     issued_ops=H * sweep_mod.issue_slots_per_hyp(n))
 
         from ransac_tpu.ops.pallas.sweep_pnp import pnp_ransac_sweep
@@ -395,7 +489,7 @@ def _cmd_profile(args):
         from ransac_tpu.ops.pallas import sweep_pnp as pnp_mod
 
         bench_entry("fused_p3p_sweep", sweep_pnp,
-                    flops=H * (2500 + 100 * n), bytes_moved=H // 42,
+                    flops=0.0, bytes_moved=H // 42,
                     issued_ops=H * pnp_mod.issue_slots_per_hyp(n))
 
         from ransac_tpu.ops.pallas.sweep_pnp_large import (
@@ -415,7 +509,7 @@ def _cmd_profile(args):
         from ransac_tpu.ops.pallas import sweep_pnp_large as pnpl_mod
 
         bench_entry("fused_p3p_sweep_large_n256", sweep_pnp_l,
-                    flops=H * (2500 + 106 * nL), bytes_moved=H // 42,
+                    flops=0.0, bytes_moved=H // 42,
                     issued_ops=H * pnpl_mod.issue_slots_per_hyp(nL))
 
         from ransac_tpu.ops.pallas.sweep_essential import (
@@ -433,11 +527,15 @@ def _cmd_profile(args):
         from ransac_tpu.ops.pallas import sweep_essential as ess_mod
 
         bench_entry("fused_essential_sweep", sweep_e,
-                    flops=H * (5200 + 30 * n), bytes_moved=H // 85,
+                    flops=0.0, bytes_moved=H // 85,
                     issued_ops=H * ess_mod.issue_slots_per_hyp(n + 3))
 
+    # Stage-wise rows materialize [H, ...] intermediates in HBM (that is
+    # exactly why the fused kernels exist) — cap their H so the chained
+    # program fits.
+    Hs = min(H, 1 << 20)
     models0 = jnp.asarray(
-        (np.eye(3)[None] + rng.normal(scale=0.1, size=(H, 3, 3))
+        (np.eye(3)[None] + rng.normal(scale=0.1, size=(Hs, 3, 3))
          ).astype(np.float32))
 
     def score(seed):
@@ -449,15 +547,15 @@ def _cmd_profile(args):
         return counts[0] + msac[0] * 1e-6
 
     bench_entry("pallas_inlier_score", score,
-                flops=H * 14 * 16, bytes_moved=H * (9 + 2) * 4)
+                flops=Hs * 14 * 16, bytes_moved=Hs * (9 + 2) * 4)
 
     def solve(seed):
-        i = jax.random.randint(jax.random.key(seed), (H, 4), 0, n)
+        i = jax.random.randint(jax.random.key(seed), (Hs, 4), 0, n)
         Hm, ok = jax.vmap(hops.dlt_homography_minimal)(src[i], dst[i])
         return ok.sum().astype(jnp.float32) + Hm[0, 0, 0] * 1e-6
 
     bench_entry("dlt_minimal_solve", solve,
-                flops=H * 700, bytes_moved=H * (32 + 36 + 4))
+                flops=Hs * 700, bytes_moved=Hs * (32 + 36 + 4))
 
     # Matching (BASELINE.md: "BA/matching kernel SoL"): batched
     # mutual-NN over descriptor matmuls — MXU work.
@@ -564,6 +662,11 @@ def main(argv=None):
     p.add_argument("--observer-height", type=float, default=2.0)
     p.add_argument("--z-mode", dest="z_mode", default="elevation",
                    choices=["elevation", "height_plus_elevation"])
+    p.add_argument("--calibration", default="",
+                   help=".npz from `calibrate`: undistorts the annotated "
+                        "feature pixels before the search (the "
+                        "reference's calibration-first flow, "
+                        "testpro.py:947-956)")
     p.add_argument("--min-pnp-inliers", dest="min_pnp_inliers", type=int,
                    default=6, help="PnP inlier guard (main_v1.py:504)")
     p.add_argument("--sweep", action="store_true",
@@ -608,6 +711,19 @@ def main(argv=None):
     p.add_argument("--out", default="")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_sfm)
+
+    p = sub.add_parser("calibrate",
+                       help="chessboard camera calibration (Zhang + LM)")
+    p.add_argument("--images", nargs="+", required=True,
+                   help="board image paths/globs")
+    p.add_argument("--cols", type=int, default=9,
+                   help="inner corners per row (reference board: 9)")
+    p.add_argument("--rows", type=int, default=6,
+                   help="inner corners per column (reference board: 6)")
+    p.add_argument("--square-size", dest="square_size", type=float,
+                   default=1.0, help="board square edge length")
+    p.add_argument("--out", default="", help="output .npz (K, dist, rms)")
+    p.set_defaults(fn=_cmd_calibrate)
 
     p = sub.add_parser("intrinsics", help="focal/sensor grid search")
     p.add_argument("--features", required=True)

@@ -155,7 +155,8 @@ def march_rays(
 
 
 @partial(jax.jit, static_argnames=(
-    "max_steps", "min_hit_step", "step", "pool", "seg_steps", "lookahead"))
+    "max_steps", "min_hit_step", "step", "pool", "seg_steps", "lookahead",
+    "pool2", "lookahead2"))
 def march_rays_mip(
     origins: jnp.ndarray,      # [R,3] centered UTM
     directions: jnp.ndarray,   # [R,3] unit
@@ -163,6 +164,7 @@ def march_rays_mip(
     max_steps: int, step: float = 1.0, min_hit_step: int = 150,
     pool: int = 8, seg_steps: int = 32, lookahead: int = 32,
     dem_pack: jnp.ndarray | None = None,
+    pool2: int = 0, lookahead2: int = 16,
 ):
     """Coarse-to-fine (max-mipmap) batched ray march — same semantics as
     :func:`march_rays`, far fewer DEM samples.
@@ -182,6 +184,16 @@ def march_rays_mip(
     dilation's coverage guarantee); ``GeoInverter`` computes a valid
     ``seg_steps`` from the DEM spacing.  Positions are exact
     ``origin + i*step*dir`` (no accumulation drift).
+
+    ``pool2 > 0`` enables a SECOND mip level (round-3, VERDICT r2
+    next-steps #8): each trip first scans ``lookahead2`` super-segments
+    of ``lookahead * seg_steps`` steps against a ``pool2``-cell dilated
+    max mip and jumps to the first suspicious one, so empty sky advances
+    up to ``lookahead2 * lookahead * seg_steps`` steps per trip (~8x
+    fewer far-sky trips at the defaults).  Requires
+    ``lookahead * seg_steps * step <= pool2 * min(dx, dy)`` (same
+    coverage argument, one level up); ``GeoInverter`` picks a valid
+    ``pool2`` automatically.
     """
     n = origins.shape[0]
     h, w = dem_data.shape
@@ -195,20 +207,29 @@ def march_rays_mip(
             dem_pack, h, w, x0, y0, dx, dy, xs, ys)
 
     # Pooled-max mip, padded with -inf, 3x3-dilated.
-    hb = -(-h // pool)
-    wb = -(-w // pool)
-    padded = jnp.full((hb * pool, wb * pool), -jnp.inf,
-                      dem_data.dtype).at[:h, :w].set(dem_data)
-    pooled = padded.reshape(hb, pool, wb, pool).max(axis=(1, 3))
-    pp = jnp.pad(pooled, 1, constant_values=-jnp.inf)
-    pooled2 = pp[1:-1, 1:-1]
-    for ro in (-1, 0, 1):
-        for co in (-1, 0, 1):
-            pooled2 = jnp.maximum(
-                pooled2, pp[1 + ro:1 + ro + hb, 1 + co:1 + co + wb])
-    pooled_flat = pooled2.reshape(-1)
+    def build_mip(p):
+        hb = -(-h // p)
+        wb = -(-w // p)
+        padded = jnp.full((hb * p, wb * p), -jnp.inf,
+                          dem_data.dtype).at[:h, :w].set(dem_data)
+        pooled = padded.reshape(hb, p, wb, p).max(axis=(1, 3))
+        pp = jnp.pad(pooled, 1, constant_values=-jnp.inf)
+        dil = pp[1:-1, 1:-1]
+        for ro in (-1, 0, 1):
+            for co in (-1, 0, 1):
+                dil = jnp.maximum(
+                    dil, pp[1 + ro:1 + ro + hb, 1 + co:1 + co + wb])
+        return dil.reshape(-1), hb, wb
+
+    pooled_flat, hb, wb = build_mip(pool)
     bx_size = pool * dx
     by_size = pool * dy
+    if pool2 > 0:
+        pooled2_flat, hb2, wb2 = build_mip(pool2)
+        b2x_size = pool2 * dx
+        b2y_size = pool2 * dy
+        ks2 = jnp.arange(lookahead2, dtype=jnp.float32)
+        seg2_len = lookahead * seg_steps * step
 
     seg_len = seg_steps * step
     ks = jnp.arange(lookahead, dtype=jnp.float32)      # segment ids
@@ -223,6 +244,33 @@ def march_rays_mip(
 
     def body(state):
         i, done, hit, istop = state
+
+        def outside(t):
+            px = ox[:, None] + t * dxr[:, None]
+            py = oy[:, None] + t * dyr[:, None]
+            return ((px < x0) | (px > xmax) | (py < y0) | (py > ymax))
+
+        if pool2 > 0:
+            # ---- level-2 scan: lookahead2 super-segments of seg2_len.
+            t2 = (i.astype(jnp.float32) * step)[:, None] \
+                + ks2[None, :] * seg2_len                 # [R,K2]
+            t2e = t2 + seg2_len
+            t2m = t2 + 0.5 * seg2_len
+            m2x = ox[:, None] + t2m * dxr[:, None]
+            m2y = oy[:, None] + t2m * dyr[:, None]
+            b2xi = jnp.clip(((m2x - x0) / b2x_size).astype(jnp.int32),
+                            0, wb2 - 1)
+            b2yi = jnp.clip(((m2y - y0) / b2y_size).astype(jnp.int32),
+                            0, hb2 - 1)
+            zmax2 = jnp.take(pooled2_flat, b2yi * wb2 + b2xi)
+            z2s = oz[:, None] + t2 * dzr[:, None]
+            z2e = oz[:, None] + t2e * dzr[:, None]
+            susp2 = ((jnp.minimum(z2s, z2e) <= zmax2)
+                     | outside(t2) | outside(t2e))
+            fs2 = jnp.where(susp2.any(axis=1),
+                            jnp.argmax(susp2, axis=1),
+                            jnp.int32(lookahead2))
+            i = i + fs2 * (lookahead * seg_steps)
         t0 = i.astype(jnp.float32) * step                 # [R] arc length
 
         # ---- coarse scan: lookahead segments [t0 + k*seg, ...]
@@ -237,11 +285,6 @@ def march_rays_mip(
         z_s = oz[:, None] + t_start * dzr[:, None]
         z_e = oz[:, None] + t_end * dzr[:, None]
         zmin_seg = jnp.minimum(z_s, z_e)
-
-        def outside(t):
-            px = ox[:, None] + t * dxr[:, None]
-            py = oy[:, None] + t * dyr[:, None]
-            return ((px < x0) | (px > xmax) | (py < y0) | (py > ymax))
 
         suspicious = ((zmin_seg <= zmax_seg)
                       | outside(t_start) | outside(t_end))
@@ -357,10 +400,18 @@ class GeoInverter:
             spacing = min(abs(self.dem.dx), abs(self.dem.dy))
             seg_steps = max(int(pool * spacing / self.cfg.step_m), 1)
             seg_steps = int(min(seg_steps, 32))
+            # Second mip level: smallest power-of-two pool2 covering a
+            # whole level-1 lookahead window (32 segments), so empty sky
+            # advances lookahead2 windows per trip.
+            lookahead = 32
+            pool2 = 1
+            while pool2 * spacing < lookahead * seg_steps * self.cfg.step_m:
+                pool2 *= 2
             pos, hit = march_rays_mip(
                 origins, rays, *dem_arrs, max_steps=max_steps,
                 step=self.cfg.step_m, min_hit_step=self.cfg.min_hit_step,
-                pool=pool, seg_steps=seg_steps, dem_pack=self._dem_pack)
+                pool=pool, seg_steps=seg_steps, lookahead=lookahead,
+                dem_pack=self._dem_pack, pool2=pool2)
         else:
             pos, hit = march_rays(
                 origins, rays, *dem_arrs, max_steps=max_steps,

@@ -125,11 +125,21 @@ def incremental_sfm(
     seed: int = 0,
     checkpoint_dir: str | None = None,
     engine: str | None = None,
+    bootstrap_stride: int = 1,
 ) -> SfmMap:
     """Run incremental reconstruction over ``frame_order``.
 
     The world frame is the first camera; global scale is fixed by the
     two-view baseline (unit norm) — standard monocular gauge.
+
+    ``bootstrap_stride``: bootstrap from ``(frame_order[0],
+    frame_order[stride])`` instead of the first consecutive pair.  With
+    slow camera motion the consecutive-pair parallax can be below the
+    pixel noise, triangulating the seed map at effectively infinite depth
+    — every later pose then collapses to a rotation-only fit (measured:
+    inter-frame baselines shrink 1000x while BA residuals stay ~1 px).  A
+    wider bootstrap pair fixes the seed geometry; the skipped intermediate
+    frames register afterwards by PnP against the seeded map.
 
     ``engine``: "sweep" routes bootstrap essential-RANSAC and PnP
     registration through the fused Pallas kernels (counter-replay large-N
@@ -177,6 +187,11 @@ def incremental_sfm(
         })
 
     key = jax.random.key(seed)
+    if bootstrap_stride > 1 and len(frame_order) > 2 and not m.camera_poses:
+        s = min(bootstrap_stride, len(frame_order) - 1)
+        f1b = frame_order[s]
+        frame_order = ([frame_order[0], f1b]
+                       + [f for f in frame_order[1:] if f != f1b])
     f0, f1 = frame_order[0], frame_order[1]
     if ckpt is not None and f0 in m.camera_poses and f1 in m.camera_poses:
         f_boot_done = True

@@ -164,7 +164,10 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
         ransac_cfg=RansacConfig(threshold=4.0, num_hypotheses=2048,
                                 exhaustive=False),
         ba_cfg=BundleAdjustConfig(max_iters=8),
-        ba_every=ba_every, seed=seed)
+        ba_every=ba_every, seed=seed,
+        # Wide-pair bootstrap: consecutive-frame parallax at this motion
+        # is below pixel noise (see incremental_sfm docstring).
+        bootstrap_stride=min(8, frames - 1))
     t_sfm = time.perf_counter() - t0
 
     # --- 4. outlier pruning + final matrix-free PCG Schur BA polish.

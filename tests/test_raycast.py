@@ -385,3 +385,33 @@ def test_packed_bilinear_matches_plain():
     np.testing.assert_array_equal(np.asarray(hit_c), np.asarray(hit_d))
     np.testing.assert_allclose(np.asarray(pos_c), np.asarray(pos_d),
                                atol=1e-3)
+
+
+def test_second_mip_level_matches_single_level():
+    """The level-2 super-segment skip (pool2 > 0) must be an exact
+    optimization: same hits, same stop positions as the single-level
+    march on rugged terrain with a mix of hitting and sky rays."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    frame = flat_frame()
+    dem = demio.synthetic_dem(
+        frame, extent_m=4000, spacing_m=10.0,
+        terrain_fn=lambda X, Y: 40.0 * np.sin(X / 180.0)
+        * np.cos(Y / 230.0) + 25.0 * np.sin((X + Y) / 97.0))
+    origins = jnp.asarray(
+        np.repeat([[0.0, 0.0, 120.0]], 64, 0), jnp.float32)
+    d = rng.normal(size=(64, 3))
+    d[:, 2] = -np.abs(d[:, 2]) * 0.15
+    d[16:32, 2] = np.abs(d[16:32, 2]) * 0.05   # sky rays (never hit)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    arrs = dem.device_arrays()
+    kw = dict(max_steps=4000, step=1.0, min_hit_step=0, pool=8,
+              seg_steps=32, lookahead=16)
+    p1, h1 = raycast.march_rays_mip(origins, dirs, *arrs, **kw, pool2=0)
+    p2, h2 = raycast.march_rays_mip(origins, dirs, *arrs, **kw,
+                                    pool2=64, lookahead2=8)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+    assert np.asarray(h1).any() and not np.asarray(h1).all()
