@@ -54,28 +54,35 @@ def synth_slot_problem(n_cam: int = 512, n_pt: int = 200_000,
     tvecs = jnp.stack([tx, jnp.zeros_like(tx), jnp.zeros_like(tx)], -1)
     cams = jnp.concatenate([rvecs, tvecs], -1)            # [C,6]
 
-    # slot_cam[p, d] = (base_p + d) % C with base from a cheap hash.
+    # slot_cam[d, p] = (base_p + d) % C with base from a cheap hash
+    # (slots-last layout — see ba.schur_cg; building per-d [P]-vectors
+    # keeps every intermediate compact, no [P, D, k] minor-dim padding).
     base = (jax.random.randint(k3, (n_pt,), 0, n_cam)).astype(jnp.int32)
-    d_off = jnp.arange(slots, dtype=jnp.int32)[None, :]
-    slot_cam = (base[:, None] + d_off) % n_cam            # [P,D]
+    d_off = jnp.arange(slots, dtype=jnp.int32)[:, None]
+    slot_cam = (base[None, :] + d_off) % n_cam            # [D,P]
 
-    # Ground-truth projections per slot.
-    def project_slot(cam6, X):
-        R = exp_so3(cam6[:3])
-        pix, z = proj.project_points(X[None, :], R, cam6[3:6], K)
-        return pix[0], z[0]
+    def project_d(ids_d):
+        cam_d = cams[ids_d]                               # [P,6]
 
-    cam_slot = cams[slot_cam]                             # [P,D,6]
-    pix, z = jax.vmap(jax.vmap(project_slot, (0, None)), (0, 0))(
-        cam_slot, pts)
-    slot_w = (z > 0.1).astype(jnp.float32)
+        def one(cam6, X):
+            R = exp_so3(cam6[:3])
+            pix, z = proj.project_points(X[None, :], R, cam6[3:6], K)
+            return pix[0], z[0]
+
+        pix, z = jax.vmap(one, (0, 0), out_axes=-1)(cam_d, pts)
+        return pix, z                                     # [2,P], [P]
+
+    pix, z = jax.vmap(project_d)(slot_cam)                # [D,2,P], [D,P]
+    slot_uv = jnp.moveaxis(pix, 1, 0)                     # [2,D,P]
+    slot_w = (z > 0.1).astype(jnp.float32)                # [D,P]
     # Initial estimates: perturbed geometry, exact observations.
     pts0 = pts + jax.random.normal(k4, pts.shape, jnp.float32) * noise_pt
     cams0 = cams.at[1:].add(
         jax.random.normal(jax.random.key(seed + 1), (n_cam - 1, 6),
                           jnp.float32) * noise_cam)
     return BASlotProblem(cameras=cams0, points=pts0, K=K,
-                         slot_cam=slot_cam, slot_uv=pix, slot_w=slot_w)
+                         slot_cam=slot_cam, slot_uv=slot_uv,
+                         slot_w=slot_w)
 
 
 def bench_ba_scale(n_cam: int = 512, n_pt: int = 200_000,

@@ -5,16 +5,22 @@ tensors — O(C*P) memory, impossible past toy maps (VERDICT r1 item 4).
 This module solves the same damped normal equations at 512+ cameras /
 200k+ points / millions of observations on one chip by never forming S:
 
-- **Point-major slot layout** ``[P, D]``: every observation lives in a
-  slot of its point's row (padded with zero weight).  ALL point-side
-  reductions (V_p, g_p, W^T dc aggregation, point back-substitution)
-  become dense sums over the D axis — no scatters, no segment_sum, no
-  [O, P] one-hots (XLA serializes scatter-adds on TPU; an [O, P] one-hot
-  at P = 200k would be petabytes).
+- **Slots-LAST layout** ``[..., D, ..., P]``: every observation lives in
+  a slot of its point's column (padded with zero weight), and the POINT
+  axis is the minormost axis of every large tensor.  XLA:TPU tiles the
+  two minormost dims of an f32 array to (8, 128); the round-2 point-
+  MAJOR layout ([P, D, 2, 6] Jacobians etc.) padded 2 -> 8 and 6 -> 128,
+  inflating ~300 MB of per-slot blocks to ~16 GB and OOMing the
+  advertised 512-cam / 200k-pt / 2M-obs size at compile.  With P minor
+  the pad is at most 6 -> 8 on the second-minor dim (<= 1.33x), and the
+  tiny algebra dims (2/3/6) are unrolled leading axes.
+- ALL point-side reductions (V_p, g_p, W^T dc aggregation, point
+  back-substitution) are dense sums over the D axis — no scatters, no
+  segment_sum (XLA serializes scatter-adds on TPU).
 - **Camera-side reductions ride the MXU**: C is small (hundreds), so
-  per-slot -> per-camera sums are tiled one-hot [C, PD] x [PD, k]
-  contractions, and per-slot camera gathers are [PD, C] x [C, k]
-  matmuls — the trick proven across this repo (ba.bundle, features).
+  per-slot -> per-camera sums are tiled one-hot [C, N] x [N, k]
+  contractions over the flattened slot axis N = D*P, and per-slot camera
+  gathers are one-hot matmuls against the [C, k] table.
 - **Preconditioned CG on the reduced camera system**: each iteration
   applies S = Ud - W V^-1 W^T matrix-free in the slot layout (two dense
   W matvecs + one camera gather + one camera reduce), preconditioned by
@@ -24,9 +30,9 @@ This module solves the same damped normal equations at 512+ cameras /
 Reference lineage: generalizes ``cv2.solvePnPRefineLM``
 (/root/reference/main_v1.py:508) to joint multi-camera LM, as
 ``ba.bundle`` does, at production scale.  The distributed mirror shards
-the POINT axis (rows of the slot layout) over the mesh ``data`` axis and
-psum-reduces only the tiny camera-side quantities — see
-``parallel.dist_ba.distributed_bundle_adjust_cg``.
+the POINT axis (the minor axis of the slot layout) over the mesh
+``data`` axis and psum-reduces only the tiny camera-side quantities —
+see ``parallel.dist_ba.distributed_bundle_adjust_cg``.
 """
 
 from __future__ import annotations
@@ -40,23 +46,29 @@ import numpy as np
 
 from ransac_tpu.ba.bundle import BAProblem, BAResult
 from ransac_tpu.ops import projection as proj
-from ransac_tpu.ops.linalg import inv3x3
 from ransac_tpu.ops.rotation import exp_so3
 from ransac_tpu.utils.config import BundleAdjustConfig
 
 
 class BASlotProblem(NamedTuple):
+    """Slots-last observation layout (see module docstring).
+
+    Round-3 layout change: the slot arrays are indexed ``[D, P]`` /
+    ``[2, D, P]`` (P minormost), NOT ``[P, D]`` as in round 2 — the
+    point-major layout OOMed at the advertised problem size from TPU
+    minor-dim tile padding.
+    """
     cameras: jnp.ndarray    # [C,6] (rvec, tvec)
     points: jnp.ndarray     # [P,3]
     K: jnp.ndarray          # [3,3]
-    slot_cam: jnp.ndarray   # [P,D] int32 camera id per slot (0 if pad)
-    slot_uv: jnp.ndarray    # [P,D,2]
-    slot_w: jnp.ndarray     # [P,D] weight (0 = padding)
+    slot_cam: jnp.ndarray   # [D,P] int32 camera id per slot (0 if pad)
+    slot_uv: jnp.ndarray    # [2,D,P]
+    slot_w: jnp.ndarray     # [D,P] weight (0 = padding)
 
 
 def from_ba_problem(p: BAProblem, max_slots: int | None = None
                     ) -> BASlotProblem:
-    """Pack an observation-list problem into the point-major slot layout.
+    """Pack an observation-list problem into the slots-last layout.
 
     Host-side (numpy): runs once per problem.  ``max_slots`` defaults to
     the longest track; observations beyond it are dropped (warned by
@@ -73,18 +85,18 @@ def from_ba_problem(p: BAProblem, max_slots: int | None = None
         counts[q] += 1
     D = int(counts.max()) if max_slots is None else int(max_slots)
     D = max(D, 1)
-    slot_cam = np.zeros((n_pt, D), np.int32)
-    slot_uv = np.zeros((n_pt, D, 2), np.float32)
-    slot_w = np.zeros((n_pt, D), np.float32)
+    slot_cam = np.zeros((D, n_pt), np.int32)
+    slot_uv = np.zeros((2, D, n_pt), np.float32)
+    slot_w = np.zeros((D, n_pt), np.float32)
     fill = np.zeros(n_pt, np.int64)
     for o in np.where(live)[0]:
         q = obs_pt[o]
         d = fill[q]
         if d >= D:
             continue
-        slot_cam[q, d] = obs_cam[o]
-        slot_uv[q, d] = obs_uv[o]
-        slot_w[q, d] = obs_w[o]
+        slot_cam[d, q] = obs_cam[o]
+        slot_uv[:, d, q] = obs_uv[o]
+        slot_w[d, q] = obs_w[o]
         fill[q] = d + 1
     return BASlotProblem(
         cameras=p.cameras, points=p.points, K=p.K,
@@ -98,12 +110,67 @@ def _residual_one(cam6, X, uv, K):
     return pix[0] - uv
 
 
+_CHUNK = 65536  # slots per one-hot tile: [64k, C] transient, C <= ~1k
+
+
+def _pad_last(a: jnp.ndarray, fill):
+    n = a.shape[-1]
+    pad = (-n) % _CHUNK
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.full(a.shape[:-1] + (pad,), fill, a.dtype)], axis=-1)
+    return a
+
+
+def _gather_cams_T(table: jnp.ndarray, ids: jnp.ndarray, C: int):
+    """``[k, N]`` table rows for flat int ids ``[N]`` via tiled one-hot
+    matmuls (XLA's take from a tiny table serializes on TPU; a single
+    one-hot at millions of slots would be GBs — lax.map keeps the
+    transient at [_CHUNK, C])."""
+    k = table.shape[-1]
+    n = ids.shape[0]
+    if n <= _CHUNK:
+        oh = jax.nn.one_hot(ids, C, dtype=table.dtype)
+        return (oh @ table).T                              # [k, N]
+    ids_p = _pad_last(ids, 0).reshape(-1, _CHUNK)
+
+    def one(ids_c):
+        return (jax.nn.one_hot(ids_c, C, dtype=table.dtype) @ table).T
+
+    out = jax.lax.map(one, ids_p)                          # [B, k, CHUNK]
+    return jnp.moveaxis(out, 0, 1).reshape(k, -1)[:, :n]
+
+
+def _reduce_to_cams_T(values: jnp.ndarray, ids: jnp.ndarray, C: int):
+    """``sum_{slots with id==c} values`` -> [C, k]; ``values`` [k, N]
+    (slots minor), ``ids`` [N].  Tiled one-hot MXU contractions over the
+    slot axis.  Padding slots carry id 0 and ZERO values (callers weight
+    by slot_w), so they contribute nothing."""
+    k = values.shape[0]
+    n = ids.shape[0]
+    if n <= _CHUNK:
+        oh = jax.nn.one_hot(ids, C, dtype=values.dtype)
+        return jnp.einsum("nc,kn->ck", oh, values)
+    v_p = _pad_last(values, 0.0).reshape(k, -1, _CHUNK)
+    id_p = _pad_last(ids, 0).reshape(-1, _CHUNK)
+
+    def one(args):
+        ids_c, v_c = args
+        oh = jax.nn.one_hot(ids_c, C, dtype=values.dtype)
+        return jnp.einsum("nc,kn->ck", oh, v_c)
+
+    return jnp.sum(
+        jax.lax.map(one, (id_p, jnp.moveaxis(v_p, 1, 0))), axis=0)
+
+
 def slot_cost(p: BASlotProblem, cameras, points, huber_scale: float = 0.0):
-    cam = cameras[p.slot_cam]                       # [P,D,6]
-    r = jax.vmap(jax.vmap(_residual_one, (0, None, 0, None)),
-                 (0, 0, 0, None))(cam, points, p.slot_uv, p.K)
-    r = r * p.slot_w[..., None]
-    r2 = jnp.sum(r * r, axis=-1)
+    C = cameras.shape[0]
+    D, P = p.slot_cam.shape
+    cam_slot = _gather_cams_T(cameras, p.slot_cam.reshape(-1), C
+                              ).reshape(6, D, P)
+    r = _residuals_T(cam_slot, points, p.slot_uv, p.K)    # [D,2,P]
+    r = r * p.slot_w[:, None, :]
+    r2 = jnp.sum(r * r, axis=1)                           # [D,P]
     if huber_scale > 0.0:
         s2 = huber_scale * huber_scale
         rho = jnp.where(r2 <= s2, r2,
@@ -112,12 +179,66 @@ def slot_cost(p: BASlotProblem, cameras, points, huber_scale: float = 0.0):
     return 0.5 * jnp.sum(r2)
 
 
+_PCHUNK = 16384  # points per Jacobian/residual chunk (see _map_chunks_P)
+
+
+def _map_chunks_P(fn, arrays, P: int, chunk: int = _PCHUNK):
+    """Apply ``fn`` over chunks of the minor P axis with ``lax.map``.
+
+    The per-slot residual/Jacobian computation internally materializes a
+    3x3 rotation matrix (and jacfwd tangents) PER SLOT; vmapped over all
+    N = D*P slots at once those [N, 3, 3] intermediates pad 57-170x
+    under TPU (4,128)-tiling and OOM the 2M-observation problem at
+    compile.  Chunking bounds every such transient at [D, chunk, 3, 3]
+    while inputs/outputs stay in the compact slots-last layout.
+
+    ``arrays``: list of arrays whose LAST axis is P; ``fn`` receives the
+    chunk slices and returns arrays whose last axis is the chunk; the
+    outputs are re-concatenated along the last axis and cropped to P.
+    """
+    if P <= chunk:
+        return fn(*arrays)
+    pad = (-P) % chunk
+    padded = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+              for a in arrays]
+    B = (P + pad) // chunk
+    stacked = [jnp.moveaxis(a.reshape(a.shape[:-1] + (B, chunk)), -2, 0)
+               for a in padded]
+    out = jax.lax.map(lambda args: fn(*args), tuple(stacked))
+    single = not isinstance(out, tuple)
+    outs = (out,) if single else out
+    merged = []
+    for o in outs:
+        o = jnp.moveaxis(o, 0, -2)                 # [..., B, chunk]
+        o = o.reshape(o.shape[:-2] + (B * chunk,))[..., :P]
+        merged.append(o)
+    return merged[0] if single else tuple(merged)
+
+
+def _residuals_T(cam_slot, points, slot_uv, K):
+    """Residuals in slots-last layout: cam_slot [6,D,P], points [P,3],
+    slot_uv [2,D,P] -> r [D,2,P]."""
+    P = points.shape[0]
+
+    def one(cam6, X, uv):
+        return _residual_one(cam6, X, uv, K)
+
+    inner = jax.vmap(one, in_axes=(-1, -1, -1), out_axes=-1)  # over P
+    outer = jax.vmap(inner, in_axes=(1, None, 1), out_axes=0)  # over D
+
+    return _map_chunks_P(
+        lambda cs, pt, uv: outer(cs, pt, uv),
+        [cam_slot, points.T, slot_uv], P)
+
+
 def _slot_blocks(p: BASlotProblem, cameras, points, huber_scale: float):
-    """Per-slot residuals and Jacobian blocks: r [P,D,2], Jc [P,D,2,6],
-    Jp [P,D,2,3] (robust- and mask-weighted).  Camera params enter via a
-    one-hot gather (C small) so the whole thing stays matmul-shaped."""
+    """Per-slot residuals and Jacobian blocks in slots-last layout:
+    r [D,2,P], Jc [D,2,6,P], Jp [D,2,3,P] (robust- and mask-weighted).
+    Camera params enter via a one-hot gather (C small)."""
     C = cameras.shape[0]
-    cam_slot = _gather_cams(cameras, p.slot_cam, C)  # [P,D,6]
+    D, P = p.slot_cam.shape
+    cam_slot = _gather_cams_T(cameras, p.slot_cam.reshape(-1), C
+                              ).reshape(6, D, P)
 
     def one(cam6, X, uv, w):
         def f(c6, x3):
@@ -135,70 +256,51 @@ def _slot_blocks(p: BASlotProblem, cameras, points, huber_scale: float):
         ww = w * w_rob
         return r * ww, Jc * ww, Jp * ww
 
-    return jax.vmap(jax.vmap(one, (0, None, 0, 0)), (0, 0, 0, 0))(
-        cam_slot, points, p.slot_uv, p.slot_w)
+    inner = jax.vmap(one, in_axes=(-1, -1, -1, -1), out_axes=-1)
+    outer = jax.vmap(inner, in_axes=(1, None, 1, 0), out_axes=0)
+
+    # Chunked over P: jacfwd's per-slot [3,3] tangents pad 57-170x when
+    # vmapped over all slots at once (see _map_chunks_P).
+    return _map_chunks_P(
+        lambda cs, pt, uv, w: outer(cs, pt, uv, w),
+        [cam_slot, points.T, p.slot_uv, p.slot_w], P)
 
 
-_CHUNK = 65536  # slots per one-hot tile: [64k, C] transient, C <= ~1k
-
-
-def _pad_flat(a: jnp.ndarray, fill):
-    n = a.shape[0]
-    pad = (-n) % _CHUNK
-    if pad:
-        a = jnp.concatenate(
-            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
-    return a
-
-
-def _gather_cams(table: jnp.ndarray, ids: jnp.ndarray, C: int):
-    """[...,k] table rows for int ids via tiled one-hot matmuls (XLA's
-    take from a tiny table serializes on TPU; a single one-hot at
-    millions of slots would be GBs — lax.map keeps the transient at
-    [_CHUNK, C])."""
-    k = table.shape[-1]
-    shape = ids.shape
-    flat = ids.reshape(-1)
-    n = flat.shape[0]
-    if n <= _CHUNK:
-        oh = jax.nn.one_hot(flat, C, dtype=table.dtype)
-        return (oh @ table).reshape(*shape, k)
-    flat_p = _pad_flat(flat, 0)
-    chunks = flat_p.reshape(-1, _CHUNK)
-
-    def one(ids_c):
-        return jax.nn.one_hot(ids_c, C, dtype=table.dtype) @ table
-
-    out = jax.lax.map(one, chunks).reshape(-1, k)[:n]
-    return out.reshape(*shape, k)
-
-
-def _reduce_to_cams(values: jnp.ndarray, ids: jnp.ndarray, C: int):
-    """sum_{slots with id==c} values -> [C, k] via tiled one-hot MXU
-    matmuls; leading axes flattened.  Padding slots carry id 0 and ZERO
-    values (callers weight by slot_w), so they contribute nothing."""
-    k = values.shape[-1]
-    v = values.reshape(-1, k)
-    flat = ids.reshape(-1)
-    n = flat.shape[0]
-    if n <= _CHUNK:
-        oh = jax.nn.one_hot(flat, C, dtype=values.dtype)
-        return jnp.einsum("nc,nk->ck", oh, v)
-    v_p = _pad_flat(v, 0.0).reshape(-1, _CHUNK, k)
-    id_p = _pad_flat(flat, 0).reshape(-1, _CHUNK)
-
-    def one(args):
-        ids_c, v_c = args
-        oh = jax.nn.one_hot(ids_c, C, dtype=v.dtype)
-        return jnp.einsum("nc,nk->ck", oh, v_c)
-
-    return jnp.sum(jax.lax.map(one, (id_p, v_p)), axis=0)
+def _inv3x3_lanes(A, lam_diag=None, eps: float = 0.0):
+    """Closed-form 3x3 inverse in lanes layout: A [3,3,P] -> [3,3,P]
+    (same adjugate/det formula as ops.linalg.inv3x3, which expects the
+    matrix dims minormost — here they are LEADING so the P lanes stay
+    the compact minor axis)."""
+    if eps:
+        A = A + eps * jnp.eye(3, dtype=A.dtype)[:, :, None]
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02]),
+        jnp.stack([c10, c11, c12]),
+        jnp.stack([c20, c21, c22]),
+    ])
+    return adj * inv_det
 
 
 def _inv_spd_6x6(A: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
-    """Batched closed-form SPD 6x6 inverse via 3x3 block Schur:
-    [[P, Q], [Q^T, S]]^-1 with inv3x3 blocks (batched LAPACK inverts
-    serialize per matrix on TPU)."""
+    """Batched closed-form SPD 6x6 inverse via 3x3 block Schur on the
+    SMALL [C,6,6] camera system (batched LAPACK inverts serialize per
+    matrix on TPU)."""
+    from ransac_tpu.ops.linalg import inv3x3
+
     P = A[..., :3, :3]
     Q = A[..., :3, 3:]
     S = A[..., 3:, 3:]
@@ -215,22 +317,25 @@ def _inv_spd_6x6(A: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     ], axis=-2)
 
 
-def _cg_step_operator(Jc, W, Vinv, slot_cam, Ud, n_cam, fix_mask,
-                      cam_psum):
+def _cg_step_operator(W, Vinv, slot_cam, Ud, n_cam, fix_mask, cam_psum):
     """Returns S_apply(x): the damped Schur operator
-    (Ud - W V^-1 W^T) x, matrix-free in the slot layout.  ``cam_psum``
-    completes camera-side reductions across point shards (identity on a
-    single device)."""
+    (Ud - W V^-1 W^T) x, matrix-free in the slots-last layout.
+    ``cam_psum`` completes camera-side reductions across point shards
+    (identity on a single device)."""
+    D, P = slot_cam.shape
+    ids = slot_cam.reshape(-1)
 
     def S_apply(x):                                  # x [C,6]
         x = x * fix_mask[:, None]
-        dc_slot = _gather_cams(x, slot_cam, n_cam)   # [P,D,6]
-        # t_p = sum_d W^T dc  -> [P,3]
-        t = jnp.einsum("pdij,pdi->pj", W, dc_slot)
-        u = jnp.einsum("pij,pj->pi", Vinv, t)        # [P,3]
-        # y_{p,d} = W u_p  -> [P,D,6]
-        y = jnp.einsum("pdij,pj->pdi", W, u)
-        s = cam_psum(_reduce_to_cams(y, slot_cam, n_cam))  # [C,6]
+        dc_slot = _gather_cams_T(x, ids, n_cam).reshape(6, D, P)
+        dc_slot = jnp.moveaxis(dc_slot, 0, 1)        # [D,6,P]
+        # t_p = sum_{d,i} W[d,i,j,p] dc[d,i,p]  -> [3,P]
+        t = jnp.einsum("dijp,dip->jp", W, dc_slot)
+        u = jnp.einsum("ijp,jp->ip", Vinv, t)        # [3,P]
+        # y_{d,i,p} = sum_j W[d,i,j,p] u[j,p]
+        y = jnp.einsum("dijp,jp->dip", W, u)
+        s = cam_psum(_reduce_to_cams_T(
+            jnp.moveaxis(y, 1, 0).reshape(6, -1), ids, n_cam))  # [C,6]
         out = jnp.einsum("cij,cj->ci", Ud, x) - s
         return out * fix_mask[:, None]
 
@@ -273,36 +378,42 @@ def _pcg(S_apply, b, Minv, n_iters: int, tol: float = 1e-8):
 
 def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
                    fix_first: bool, cg_iters: int, cam_psum=None):
-    """One damped GN step: matrix-free Schur + PCG, slot layout.
-    ``cam_psum`` (default identity) completes every camera-side
-    reduction across point shards — the ONLY cross-shard communication
-    the distributed mirror needs (parallel.dist_ba)."""
+    """One damped GN step: matrix-free Schur + PCG, slots-last layout
+    (r [D,2,P], Jc [D,2,6,P], Jp [D,2,3,P]).  ``cam_psum`` (default
+    identity) completes every camera-side reduction across point shards
+    — the ONLY cross-shard communication the distributed mirror needs
+    (parallel.dist_ba)."""
     if cam_psum is None:
         cam_psum = lambda x: x
     dt = r.dtype
+    D, P = p.slot_cam.shape
+    ids = p.slot_cam.reshape(-1)
     # Camera blocks: U_c = sum JcT Jc, gc = -sum JcT r  (MXU one-hots).
-    JtJ = jnp.einsum("pdai,pdaj->pdij", Jc, Jc)          # [P,D,6,6]
-    U = cam_psum(_reduce_to_cams(
-        JtJ.reshape(*JtJ.shape[:2], 36), p.slot_cam,
+    JtJ = jnp.einsum("daip,dajp->dijp", Jc, Jc)          # [D,6,6,P]
+    U = cam_psum(_reduce_to_cams_T(
+        jnp.moveaxis(JtJ, 3, 1).reshape(D * P, 36).T, ids,
         n_cam)).reshape(n_cam, 6, 6)
-    gc = -cam_psum(_reduce_to_cams(
-        jnp.einsum("pdai,pda->pdi", Jc, r), p.slot_cam, n_cam))  # [C,6]
+    gcv = jnp.einsum("daip,dap->dip", Jc, r)             # [D,6,P]
+    gc = -cam_psum(_reduce_to_cams_T(
+        jnp.moveaxis(gcv, 1, 0).reshape(6, -1), ids, n_cam))   # [C,6]
     # Point blocks: dense sums over slots.
-    V = jnp.einsum("pdai,pdaj->pij", Jp, Jp)             # [P,3,3]
-    gp = -jnp.einsum("pdai,pda->pi", Jp, r)              # [P,3]
+    V = jnp.einsum("daip,dajp->ijp", Jp, Jp)             # [3,3,P]
+    gp = -jnp.einsum("daip,dap->ip", Jp, r)              # [3,P]
 
     dU = jnp.maximum(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6)
     Ud = U + lam * dU[..., None] * jnp.eye(6, dtype=dt)
-    dV = jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6)
-    Vinv = inv3x3(V + lam * dV[..., None] * jnp.eye(3, dtype=dt),
-                  eps=1e-9)
+    dV = jnp.maximum(
+        jnp.stack([V[0, 0], V[1, 1], V[2, 2]]), 1e-6)    # [3,P]
+    Vd = V + lam * dV[:, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
+    Vinv = _inv3x3_lanes(Vd, eps=1e-9)
 
-    W = jnp.einsum("pdai,pdaj->pdij", Jc, Jp)            # [P,D,6,3]
+    W = jnp.einsum("daip,dajp->dijp", Jc, Jp)            # [D,6,3,P]
 
     # rhs: b = gc - sum_slots W Vinv gp
-    u0 = jnp.einsum("pij,pj->pi", Vinv, gp)
-    y0 = jnp.einsum("pdij,pj->pdi", W, u0)
-    b = gc - cam_psum(_reduce_to_cams(y0, p.slot_cam, n_cam))
+    u0 = jnp.einsum("ijp,jp->ip", Vinv, gp)
+    y0 = jnp.einsum("dijp,jp->dip", W, u0)               # [D,6,P]
+    b = gc - cam_psum(_reduce_to_cams_T(
+        jnp.moveaxis(y0, 1, 0).reshape(6, -1), ids, n_cam))
 
     fix_mask = jnp.ones((n_cam,), dt)
     if fix_first:
@@ -310,16 +421,17 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     b = b * fix_mask[:, None]
 
     Minv = _inv_spd_6x6(Ud + 1e-8 * jnp.eye(6, dtype=dt))
-    S_apply = _cg_step_operator(Jc, W, Vinv, p.slot_cam, Ud, n_cam,
+    S_apply = _cg_step_operator(W, Vinv, p.slot_cam, Ud, n_cam,
                                 fix_mask, cam_psum)
     dc = _pcg(S_apply, b, Minv, cg_iters)
     dc = dc * fix_mask[:, None]
 
     # Point back-substitution: dp = Vinv (gp - sum_d W^T dc[cam]).
-    dc_slot = _gather_cams(dc, p.slot_cam, n_cam)
-    t = jnp.einsum("pdij,pdi->pj", W, dc_slot)
-    dp = jnp.einsum("pij,pj->pi", Vinv, gp - t)
-    return dc, dp
+    dc_slot = jnp.moveaxis(
+        _gather_cams_T(dc, ids, n_cam).reshape(6, D, P), 0, 1)
+    t = jnp.einsum("dijp,dip->jp", W, dc_slot)
+    dp = jnp.einsum("ijp,jp->ip", Vinv, gp - t)          # [3,P]
+    return dc, dp.T
 
 
 @partial(jax.jit, static_argnames=("cfg", "fix_first_camera", "cg_iters"))

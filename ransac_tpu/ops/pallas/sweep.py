@@ -329,9 +329,9 @@ def homography_ransac_sweep(
     if full_records:
         return (_rescale(fbest[0].reshape(-1)), fbest[1].reshape(-1),
                 ibest[0].reshape(-1))
-    return (_rescale(fbest[jnp.array([0, 2])]),
-            fbest[jnp.array([1, 3])],
-            ibest)
+    # Strided slices (rows [0,2] / [1,3]), not fancy indexing: a gather
+    # over rows lowers to a real gather kernel on TPU.
+    return (_rescale(fbest[0::2]), fbest[1::2], ibest)
 
 
 def unpack_sample(packed: int) -> np.ndarray:
@@ -346,21 +346,20 @@ def issue_slots_per_hyp(n_points: int) -> float:
     FMA rate being half the generic op rate on v5e).
 
     Derivation (ops on [8, LAN] tiles, per hypothesis element):
-    - counter PRNG: 4 x fmix (8 ops) + Fisher-Yates mod/shifts   ~70
-    - validity bit tests                                          ~10
-    - tree gather: 16 columns x ~(n-1) selects + 16 mask ops      16n
-    - projective-frame solve: 2 frames (~115 incl. FMA x2) +
-      adjugate (~36) + H contraction (~54)                        ~205
     - score loop (division-deferred, round 3): n x (6 FMA u,v,w
       = 12 + 2 FMA a,b = 4 + r2 mul+FMA = 3 + w2/t/max = 3 +
       approx recip = 1 + count cmp/sel/add = 3 + msac min/mul/
-      FMA = 4)                                                   ~30n
-    - two-record block reduction, amortized over BLOCK_H          ~0
+      FMA = 4)                                                   30n
+    - sampling + gather + solve + reduction, MEASURED            ~105
 
-    Total ~= 285 + 46n.  Estimated from the kernel source op-by-op;
-    good to ~+-25% (stated in PERF.md).  Round-3 decomposition
-    (tools/exp_small.py) measured the score loop at 84% of kernel time
-    with sampling+gather+solve nearly latency-hidden, so the effective
-    per-hypothesis cost is closer to the score term alone.
+    The non-score term is calibrated from the round-3 stage
+    decomposition (tools/exp_small.py `noscore`: 0.113 ms per 2^22
+    hypotheses), not counted from source: the naive op-by-op count for
+    those stages (~880 with the tree gather and Fisher-Yates shifts)
+    implied 3x the measured VPU ceiling — Mosaic CSEs the shared tree
+    masks, runs index math on the scalar unit, and hides most of that
+    phase's latency, so source-level counting overstates it badly (a
+    round-3 artifact briefly reported 105% issue from exactly that
+    error).  Good to ~+-25%.
     """
-    return 285 + 46 * n_points
+    return 105 + 30 * n_points

@@ -192,9 +192,12 @@ def distributed_bundle_adjust_cg(
             None, length=n_iters)
         return cams, pts, cost
 
+    # Slots-last layout (round 3, ba.schur_cg): the point axis is the
+    # MINOR axis of the slot arrays, so the data shards split axis -1.
     return shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        in_specs=(P(), P("data"), P(None, "data"),
+                  P(None, None, "data"), P(None, "data")),
         out_specs=(P(), P("data"), P()),
         check_vma=False,
     )(sp.cameras, sp.points, sp.slot_cam, sp.slot_uv, sp.slot_w)

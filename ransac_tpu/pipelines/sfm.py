@@ -89,6 +89,110 @@ class SfmMap:
             self.points[t] = pts[i]
 
 
+def _triangulate_pair_gated(m, tracks, g1, g2, track_list, Kj, gate_n,
+                            min_angle_deg: float = 1.0):
+    """Batched 2-view DLT of ``track_list`` between registered frames
+    ``g1``/``g2`` with cheirality + reprojection + triangulation-ANGLE
+    gates (normalized units / degrees).  The angle gate is the one that
+    matters for map quality: a low-parallax pair fits both views exactly
+    at quasi-arbitrary depth, passes every reprojection test, and then
+    poisons PnP for all later frames (measured on the SLAM demo:
+    admitting adjacent-frame points doubles the trajectory ATE).
+    Returns {track_id: X} for the survivors."""
+    if not track_list:
+        return {}
+    nt = _bucket(len(track_list))
+    x1 = proj.normalize_pixels(jnp.asarray(_pad_rows(
+        np.stack([tracks[(g1, t)] for t in track_list]), nt),
+        jnp.float32), Kj)
+    x2 = proj.normalize_pixels(jnp.asarray(_pad_rows(
+        np.stack([tracks[(g2, t)] for t in track_list]), nt),
+        jnp.float32), Kj)
+    pose1 = m.camera_poses[g1]
+    pose2 = m.camera_poses[g2]
+    Xn = np.asarray(epipolar.triangulate_dlt(
+        x1, x2,
+        exp_so3(jnp.asarray(pose1[:3], jnp.float32)),
+        jnp.asarray(pose1[3:], jnp.float32),
+        exp_so3(jnp.asarray(pose2[:3], jnp.float32)),
+        jnp.asarray(pose2[3:], jnp.float32)), np.float64)
+    x1_n = np.asarray(x1, np.float64)
+    x2_n = np.asarray(x2, np.float64)
+    R1 = np.asarray(exp_so3(jnp.asarray(pose1[:3], jnp.float32)))
+    R2 = np.asarray(exp_so3(jnp.asarray(pose2[:3], jnp.float32)))
+    C1 = -R1.T @ pose1[3:]
+    C2 = -R2.T @ pose2[3:]
+    cos_min = np.cos(np.deg2rad(min_angle_deg))
+    out = {}
+    for i, tr in enumerate(track_list):
+        ok = True
+        for Rv, pose, xn in ((R1, pose1, x1_n[i]), (R2, pose2, x2_n[i])):
+            xc = Rv @ Xn[i] + pose[3:]
+            if xc[2] <= 0 or np.linalg.norm(xc[:2] / xc[2] - xn) > gate_n:
+                ok = False
+                break
+        if ok:
+            r1 = Xn[i] - C1
+            r2 = Xn[i] - C2
+            den = np.linalg.norm(r1) * np.linalg.norm(r2)
+            if den <= 0 or np.dot(r1, r2) / den > cos_min:
+                ok = False
+        if ok:
+            out[tr] = Xn[i]
+    return out
+
+
+def _mean_reproj_error(m, tracks, t, X, frames_of_t):
+    """Mean pixel reprojection error of candidate point X over the
+    track's registered observations (host-side, small)."""
+    K = np.asarray(m.K, np.float64)
+    errs = []
+    for g in frames_of_t:
+        pose = m.camera_poses[g]
+        Rv = np.asarray(exp_so3(jnp.asarray(pose[:3], jnp.float32)))
+        xc = Rv @ X + pose[3:]
+        if xc[2] <= 1e-9:
+            return np.inf
+        uv = K[:2, :2] @ (xc[:2] / xc[2]) + K[:2, 2]
+        errs.append(np.linalg.norm(uv - tracks[(g, t)]))
+    return float(np.mean(errs)) if errs else np.inf
+
+
+def _retriangulate_widest(m, tracks, gate_n):
+    """Re-solve map points from their WIDEST pair of registered
+    observations (run after each BA), accepting a candidate ONLY if it
+    lowers the point's mean reprojection error over ALL its registered
+    observations: points admitted from a narrow baseline carry
+    quasi-arbitrary depth that a 2-view gate cannot detect, and the
+    widest pair fixes them — but blindly overwriting healthy BA-refined
+    points with a 2-view solve from drifted poses makes the map WORSE
+    (measured on the SLAM demo), so the update must be monotone."""
+    frames_reg = sorted(m.camera_poses)
+    fset = set(frames_reg)
+    obs_by_track: dict = {}
+    for (g, t), _ in tracks.items():
+        if t in m.points and g in fset:
+            obs_by_track.setdefault(t, []).append(g)
+    by_pair: dict = {}
+    for t, gs in obs_by_track.items():
+        g1, g2 = min(gs), max(gs)
+        if g2 > g1:
+            by_pair.setdefault((g1, g2), []).append(t)
+    Kj = jnp.asarray(m.K, jnp.float32)
+    n_acc = 0
+    for (g1, g2), tl in by_pair.items():
+        for tr, X in _triangulate_pair_gated(
+                m, tracks, g1, g2, sorted(tl), Kj, gate_n).items():
+            gs = obs_by_track[tr]
+            if (_mean_reproj_error(m, tracks, tr, X, gs)
+                    < _mean_reproj_error(m, tracks, tr, m.points[tr], gs)):
+                m.points[tr] = X
+                n_acc += 1
+    if n_acc:
+        log.info("retriangulated %d map points (widest-pair, monotone)",
+                 n_acc)
+
+
 def prune_observations(p: BAProblem, max_px: float) -> tuple[BAProblem, int]:
     """Zero the weight of observations whose current reprojection residual
     exceeds ``max_px`` (standard SfM outlier rejection before a final BA
@@ -259,50 +363,29 @@ def incremental_sfm(
         log.info("frame %d registered: %d/%d PnP inliers", f,
                  int(res.num_inliers), len(vis))
 
-        # ---- triangulate new tracks vs the previous registered frame
-        prev = [g for g in frame_order[:step] if g in m.camera_poses][-1]
-        new_tracks = sorted(
-            t for t in {t for g, t in tracks if g == f}
-            if t not in m.points and (prev, t) in tracks)
-        if new_tracks:
-            nt = _bucket(len(new_tracks))
-            xp = proj.normalize_pixels(jnp.asarray(_pad_rows(
-                np.stack([tracks[(prev, t)] for t in new_tracks]), nt),
-                jnp.float32), Kj)
-            xf = proj.normalize_pixels(jnp.asarray(_pad_rows(
-                np.stack([tracks[(f, t)] for t in new_tracks]), nt),
-                jnp.float32), Kj)
-            pose_p = m.camera_poses[prev]
-            pose_f = m.camera_poses[f]
-            Xn = epipolar.triangulate_dlt(
-                xp, xf,
-                exp_so3(jnp.asarray(pose_p[:3], jnp.float32)),
-                jnp.asarray(pose_p[3:], jnp.float32),
-                exp_so3(jnp.asarray(pose_f[:3], jnp.float32)),
-                jnp.asarray(pose_f[3:], jnp.float32))
-            Xn = np.asarray(Xn, np.float64)
-            # Reprojection gate (in normalized units): tracks chained
-            # through a wrong match triangulate far off their rays; plain
-            # cheirality admits them and one bad map point then corrupts
-            # PnP and BA downstream.  2x the RANSAC pixel threshold.
-            gate_n = 2.0 * ransac_cfg.threshold / float(K[0, 0])
-            xp_n = np.asarray(xp, np.float64)
-            xf_n = np.asarray(xf, np.float64)
-            for i, tr in enumerate(new_tracks):
-                ok = True
-                for pose, xn in ((pose_p, xp_n[i]), (pose_f, xf_n[i])):
-                    Rv = np.asarray(exp_so3(jnp.asarray(pose[:3], jnp.float32)))
-                    xc = Rv @ Xn[i] + pose[3:]
-                    if xc[2] <= 0:
-                        ok = False
-                        break
-                    if np.linalg.norm(xc[:2] / xc[2] - xn) > gate_n:
-                        ok = False
-                        break
-                if ok:
-                    m.points[tr] = Xn[i]
+        # ---- triangulate new tracks — prefer an OLDER registered
+        # partner: adjacent-frame baselines can sit below the pixel
+        # noise, and a 2-view triangulation fits both views exactly
+        # regardless of depth, so the reprojection gate cannot catch the
+        # resulting quasi-infinite points (the scale-drift mechanism the
+        # bootstrap_stride note describes).  Short tracks that cannot
+        # reach a wide partner still enter via the nearest frame and are
+        # repaired by the widest-pair retriangulation after each BA.
+        gate_n = 2.0 * ransac_cfg.threshold / float(K[0, 0])
+        regd = [g for g in frame_order[:step] if g in m.camera_poses]
+        wide = [g for g in regd if abs(f - g) >= bootstrap_stride]
+        partners = ([min(wide, key=lambda g: abs(f - g))] if wide else [])
+        if not partners or partners[0] != regd[-1]:
+            partners.append(regd[-1])
+        for prev in partners:
+            new_tracks = sorted(
+                t for t in {t for g, t in tracks if g == f}
+                if t not in m.points and (prev, t) in tracks)
+            for tr, X in _triangulate_pair_gated(
+                    m, tracks, prev, f, new_tracks, Kj, gate_n).items():
+                m.points[tr] = X
 
-        # ---- periodic global BA
+        # ---- periodic global BA + widest-pair retriangulation
         if step % ba_every == 0:
             p, frames, track_ids = m.as_ba_problem(tracks)
             res_ba = bundle_adjust(p, ba_cfg)
@@ -310,5 +393,6 @@ def incremental_sfm(
             log.info("BA after frame %d: cost %.4g -> %.4g (%d iters)",
                      f, float(res_ba.initial_cost), float(res_ba.cost),
                      int(res_ba.iterations))
+            _retriangulate_widest(m, tracks, gate_n)
             save_ckpt(step)
     return m

@@ -170,14 +170,22 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
         bootstrap_stride=min(8, frames - 1))
     t_sfm = time.perf_counter() - t0
 
-    # --- 4. outlier pruning + final matrix-free PCG Schur BA polish.
+    # --- 4. outlier pruning + final matrix-free PCG Schur BA polish
+    # (two rounds with re-pruning between: the first round's solution
+    # exposes outliers the drifted incremental estimate hid).
     from ransac_tpu.pipelines.sfm import prune_observations
 
     p, frames_l, track_ids = m.as_ba_problem(tracks)
     p, n_drop = prune_observations(p, max_px=8.0)
-    sp = from_ba_problem(p)
     t0 = time.perf_counter()
-    res = bundle_adjust_cg(sp, BundleAdjustConfig(max_iters=16))
+    res = bundle_adjust_cg(from_ba_problem(p), BundleAdjustConfig(
+        max_iters=24), cg_iters=32)
+    p = p._replace(cameras=res.cameras, points=res.points)
+    p, n_drop2 = prune_observations(p, max_px=4.0)
+    n_drop += n_drop2
+    sp = from_ba_problem(p)
+    res = bundle_adjust_cg(sp, BundleAdjustConfig(max_iters=24),
+                           cg_iters=32)
     jax.block_until_ready(res.cameras)
     t_ba = time.perf_counter() - t0
     m.apply_ba(res, frames_l, track_ids)

@@ -1,0 +1,107 @@
+"""Chained-timing benchmark of the batched DEM ray march on TPU.
+
+VERDICT r2 next-steps #8: the round-1 "~350k rays/s" figure was measured
+with the pipelined protocol; re-time with the dependency-chained ground
+truth (ops.pallas.roofline._time_best) and quantify the second mip level
+(pool2).  The reference marches ONE ray with a PROJ FFI call + scipy
+interpolation per 1-m step (main_v1.py:635-658).
+
+Run: python tools/bench_raycast.py [n_rays]
+"""
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from ransac_tpu.ops.pallas.roofline import _time_best
+from ransac_tpu.pipelines import raycast
+from ransac_tpu.io import dem as demio
+
+
+def _scene(n_rays: int, seed: int = 0):
+    """Rugged synthetic DEM + rays from an elevated origin: ~70% hit
+    terrain at varying depths, ~30% skim to the far boundary (the
+    expensive far-sky case the mip levels target)."""
+    from ransac_tpu.ops.geodesy import SceneFrame
+
+    rng = np.random.default_rng(seed)
+    frame = SceneFrame(anchor=np.array([739000.0, 2888000.0, 0.0]), zone=50)
+    dem = demio.synthetic_dem(
+        frame, extent_m=12000, spacing_m=30.0,
+        terrain_fn=lambda X, Y: (40.0 * np.sin(X / 700.0)
+                                 * np.cos(Y / 900.0)
+                                 + 30.0 * np.sin((X + Y) / 400.0)))
+    origins = np.repeat([[0.0, 0.0, 300.0]], n_rays, 0)
+    d = rng.normal(size=(n_rays, 3))
+    d[:, 2] = -np.abs(d[:, 2]) * 0.12
+    k = n_rays * 7 // 10
+    d[k:, 2] = -np.abs(d[k:, 2]) * 0.004   # grazing rays: long marches
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (dem, jnp.asarray(origins, jnp.float32),
+            jnp.asarray(d, jnp.float32))
+
+
+def bench(n_rays: int = 4096, max_steps: int = 10000):
+    dem, origins, dirs = _scene(n_rays)
+    arrs = dem.device_arrays()
+    spacing = 30.0
+    pool = 8
+    seg_steps = min(max(int(pool * spacing / 1.0), 1), 32)
+    lookahead = 32
+    pool2 = 1
+    while pool2 * spacing < lookahead * seg_steps * 1.0:
+        pool2 *= 2
+
+    for name, kw in (
+        ("march_plain_chunk64", None),
+        ("march_mip_l1", dict(pool=pool, seg_steps=seg_steps,
+                              lookahead=lookahead, pool2=0)),
+        ("march_mip_l2", dict(pool=pool, seg_steps=seg_steps,
+                              lookahead=lookahead, pool2=pool2,
+                              lookahead2=16)),
+    ):
+        @functools.partial(jax.jit, static_argnames=("n_rep",))
+        def run(seed0, n_rep, kw=kw):
+            def body(_, carry):
+                s, acc = carry
+                # Perturb directions per rep (data dependency + unique
+                # input): rotation by ~1e-6 rad never changes hit counts.
+                d = dirs + (s.astype(jnp.float32) * 1e-9)
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                if kw is None:
+                    pos, hit = raycast.march_rays(
+                        origins, d, *arrs, max_steps=max_steps,
+                        step=1.0, min_hit_step=150)
+                else:
+                    pos, hit = raycast.march_rays_mip(
+                        origins, d, *arrs, max_steps=max_steps,
+                        step=1.0, min_hit_step=150, **kw)
+                v = hit.sum().astype(jnp.float32)
+                return s + jnp.int32(1) + (v < -1).astype(jnp.int32), acc + v
+            _, acc = jax.lax.fori_loop(0, n_rep, body,
+                                       (seed0, jnp.float32(0.0)))
+            return acc
+
+        dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=5,
+                        small=1, large=9)
+        hit_frac = None
+        if kw is None:
+            pos, hit = raycast.march_rays(
+                origins, dirs, *arrs, max_steps=max_steps, step=1.0,
+                min_hit_step=150)
+        else:
+            pos, hit = raycast.march_rays_mip(
+                origins, dirs, *arrs, max_steps=max_steps, step=1.0,
+                min_hit_step=150, **kw)
+        hit_frac = float(np.asarray(hit).mean())
+        print(f"{name:22s} {dt * 1e3:8.3f} ms  "
+              f"{n_rays / dt / 1e3:8.1f} k rays/s  hit={hit_frac:.2f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    bench(n)
