@@ -99,12 +99,16 @@ def bench_ba_scale(n_cam: int = 512, n_pt: int = 200_000,
         res = bundle_adjust_cg(sp_k, cfg, cg_iters=cg_iters)
         return res
 
-    # Compile both variants.
+    # Compile both variants (progress prints: remote compiles of this
+    # program class take tens of minutes through the tunnel).
     small, large = 2, 6
+    print(f"# compiling/running {small}-iter variant...", flush=True)
     r = run(small, 0)
     np.asarray(r.cost)
+    print(f"# compiling/running {large}-iter variant...", flush=True)
     r = run(large, 1)
     np.asarray(r.cost)
+    print("# compiled; timing", flush=True)
     deltas = []
     costs = None
     k = 2

@@ -168,9 +168,9 @@ def slot_cost(p: BASlotProblem, cameras, points, huber_scale: float = 0.0):
     D, P = p.slot_cam.shape
     cam_slot = _gather_cams_T(cameras, p.slot_cam.reshape(-1), C
                               ).reshape(6, D, P)
-    r = _residuals_T(cam_slot, points, p.slot_uv, p.K)    # [D,2,P]
-    r = r * p.slot_w[:, None, :]
-    r2 = jnp.sum(r * r, axis=1)                           # [D,P]
+    r = _residuals_T(cam_slot, points, p.slot_uv, p.K)    # [2,D,P]
+    r = r * p.slot_w[None, :, :]
+    r2 = jnp.sum(r * r, axis=0)                           # [D,P]
     if huber_scale > 0.0:
         s2 = huber_scale * huber_scale
         rho = jnp.where(r2 <= s2, r2,
@@ -179,91 +179,87 @@ def slot_cost(p: BASlotProblem, cameras, points, huber_scale: float = 0.0):
     return 0.5 * jnp.sum(r2)
 
 
-_PCHUNK = 16384  # points per Jacobian/residual chunk (see _map_chunks_P)
+def _residual_lanes(cam6, X, uv, K):
+    """Reprojection residual with EXPLICIT Rodrigues components — no 3x3
+    matrix ops anywhere.  ``cam6`` [6, ...], ``X`` [3, ...] (broadcasts),
+    ``uv`` [2, ...] -> r [2, ...].
 
-
-def _map_chunks_P(fn, arrays, P: int, chunk: int = _PCHUNK):
-    """Apply ``fn`` over chunks of the minor P axis with ``lax.map``.
-
-    The per-slot residual/Jacobian computation internally materializes a
-    3x3 rotation matrix (and jacfwd tangents) PER SLOT; vmapped over all
-    N = D*P slots at once those [N, 3, 3] intermediates pad 57-170x
-    under TPU (4,128)-tiling and OOM the 2M-observation problem at
-    compile.  Chunking bounds every such transient at [D, chunk, 3, 3]
-    while inputs/outputs stay in the compact slots-last layout.
-
-    ``arrays``: list of arrays whose LAST axis is P; ``fn`` receives the
-    chunk slices and returns arrays whose last axis is the chunk; the
-    outputs are re-concatenated along the last axis and cropped to P.
+    Why not exp_so3 + project_points: under vmap over millions of slots
+    their [3,3] matmuls become batched tiny dot_generals, which TPU
+    executes quasi-serially (measured 95x slowdown per observation vs
+    the 32-cam problem) and which blow AOT compile time past an hour at
+    2M observations.  Elementwise component formulas keep both the
+    primal and the jacfwd/linearize tangents pure VPU code.  Formulas
+    mirror ops.rotation.exp_so3 (same smooth-at-zero guards, using
+    K^2 = w w^T - |w|^2 I) and ops.projection.project_points (guarded
+    divide, no distortion).
     """
-    if P <= chunk:
-        return fn(*arrays)
-    pad = (-P) % chunk
-    padded = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-              for a in arrays]
-    B = (P + pad) // chunk
-    stacked = [jnp.moveaxis(a.reshape(a.shape[:-1] + (B, chunk)), -2, 0)
-               for a in padded]
-    out = jax.lax.map(lambda args: fn(*args), tuple(stacked))
-    single = not isinstance(out, tuple)
-    outs = (out,) if single else out
-    merged = []
-    for o in outs:
-        o = jnp.moveaxis(o, 0, -2)                 # [..., B, chunk]
-        o = o.reshape(o.shape[:-2] + (B * chunk,))[..., :P]
-        merged.append(o)
-    return merged[0] if single else tuple(merged)
+    wx, wy, wz = cam6[0], cam6[1], cam6[2]
+    tx, ty, tz = cam6[3], cam6[4], cam6[5]
+    eps = 1e-20
+    theta2 = wx * wx + wy * wy + wz * wz
+    theta = jnp.sqrt(theta2 + eps * eps) - eps
+    small = theta2 < 1e-8
+    a = jnp.where(small, 1.0 - theta2 / 6.0,
+                  jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    R00 = 1.0 + b * (wx * wx - theta2)
+    R01 = -a * wz + b * wx * wy
+    R02 = a * wy + b * wx * wz
+    R10 = a * wz + b * wx * wy
+    R11 = 1.0 + b * (wy * wy - theta2)
+    R12 = -a * wx + b * wy * wz
+    R20 = -a * wy + b * wx * wz
+    R21 = a * wx + b * wy * wz
+    R22 = 1.0 + b * (wz * wz - theta2)
+    x, y, z = X[0], X[1], X[2]
+    Xc0 = R00 * x + R01 * y + R02 * z + tx
+    Xc1 = R10 * x + R11 * y + R12 * z + ty
+    Xc2 = R20 * x + R21 * y + R22 * z + tz
+    inv_z = 1.0 / jnp.where(jnp.abs(Xc2) < 1e-12, 1e-12, Xc2)
+    u = K[0, 0] * (Xc0 * inv_z) + K[0, 2]
+    v = K[1, 1] * (Xc1 * inv_z) + K[1, 2]
+    return jnp.stack([u - uv[0], v - uv[1]])
 
 
 def _residuals_T(cam_slot, points, slot_uv, K):
     """Residuals in slots-last layout: cam_slot [6,D,P], points [P,3],
-    slot_uv [2,D,P] -> r [D,2,P]."""
-    P = points.shape[0]
-
-    def one(cam6, X, uv):
-        return _residual_one(cam6, X, uv, K)
-
-    inner = jax.vmap(one, in_axes=(-1, -1, -1), out_axes=-1)  # over P
-    outer = jax.vmap(inner, in_axes=(1, None, 1), out_axes=0)  # over D
-
-    return _map_chunks_P(
-        lambda cs, pt, uv: outer(cs, pt, uv),
-        [cam_slot, points.T, slot_uv], P)
+    slot_uv [2,D,P] -> r [2,D,P]."""
+    return _residual_lanes(cam_slot, points.T[:, None, :], slot_uv, K)
 
 
 def _slot_blocks(p: BASlotProblem, cameras, points, huber_scale: float):
     """Per-slot residuals and Jacobian blocks in slots-last layout:
-    r [D,2,P], Jc [D,2,6,P], Jp [D,2,3,P] (robust- and mask-weighted).
-    Camera params enter via a one-hot gather (C small)."""
+    r [2,D,P], Jc [6][2,D,P], Jp [3][2,D,P] (lists of per-parameter
+    columns; robust- and mask-weighted).  One jax.linearize + 9 basis
+    tangent pulls — per-slot blocks are exactly the elementwise partials
+    because slots are independent."""
     C = cameras.shape[0]
     D, P = p.slot_cam.shape
     cam_slot = _gather_cams_T(cameras, p.slot_cam.reshape(-1), C
                               ).reshape(6, D, P)
+    pts_b = points.T[:, None, :]                       # [3,1,P]
 
-    def one(cam6, X, uv, w):
-        def f(c6, x3):
-            return _residual_one(c6, x3, uv, p.K)
+    r, f_lin = jax.linearize(
+        lambda c, x: _residual_lanes(c, x, p.slot_uv, p.K),
+        cam_slot, pts_b)
+    zc = jnp.zeros_like(cam_slot)
+    zx = jnp.zeros_like(pts_b)
+    Jc = [f_lin(zc.at[k].set(1.0), zx) for k in range(6)]
+    Jp = [f_lin(zc, zx.at[j].set(1.0)) for j in range(3)]
 
-        r = f(cam6, X)
-        Jc = jax.jacfwd(f, argnums=0)(cam6, X)
-        Jp = jax.jacfwd(f, argnums=1)(cam6, X)
-        if huber_scale > 0.0:
-            rn = jnp.linalg.norm(r) + 1e-12
-            w_rob = jnp.sqrt(jnp.where(rn <= huber_scale, 1.0,
-                                       huber_scale / rn))
-        else:
-            w_rob = 1.0
-        ww = w * w_rob
-        return r * ww, Jc * ww, Jp * ww
-
-    inner = jax.vmap(one, in_axes=(-1, -1, -1, -1), out_axes=-1)
-    outer = jax.vmap(inner, in_axes=(1, None, 1, 0), out_axes=0)
-
-    # Chunked over P: jacfwd's per-slot [3,3] tangents pad 57-170x when
-    # vmapped over all slots at once (see _map_chunks_P).
-    return _map_chunks_P(
-        lambda cs, pt, uv, w: outer(cs, pt, uv, w),
-        [cam_slot, points.T, p.slot_uv, p.slot_w], P)
+    if huber_scale > 0.0:
+        rn = jnp.sqrt(r[0] * r[0] + r[1] * r[1]) + 1e-12
+        w_rob = jnp.sqrt(jnp.where(rn <= huber_scale, 1.0,
+                                   huber_scale / rn))
+        ww = p.slot_w * w_rob                          # [D,P]
+    else:
+        ww = p.slot_w
+    r = r * ww
+    Jc = [j * ww for j in Jc]
+    Jp = [j * ww for j in Jp]
+    return r, Jc, Jp
 
 
 def _inv3x3_lanes(A, lam_diag=None, eps: float = 0.0):
@@ -320,6 +316,8 @@ def _inv_spd_6x6(A: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
 def _cg_step_operator(W, Vinv, slot_cam, Ud, n_cam, fix_mask, cam_psum):
     """Returns S_apply(x): the damped Schur operator
     (Ud - W V^-1 W^T) x, matrix-free in the slots-last layout.
+    ``W`` is a 6x3 nested list of [D,P] arrays (explicit loops, NOT
+    einsum: batched tiny dot_generals execute quasi-serially on TPU).
     ``cam_psum`` completes camera-side reductions across point shards
     (identity on a single device)."""
     D, P = slot_cam.shape
@@ -328,14 +326,16 @@ def _cg_step_operator(W, Vinv, slot_cam, Ud, n_cam, fix_mask, cam_psum):
     def S_apply(x):                                  # x [C,6]
         x = x * fix_mask[:, None]
         dc_slot = _gather_cams_T(x, ids, n_cam).reshape(6, D, P)
-        dc_slot = jnp.moveaxis(dc_slot, 0, 1)        # [D,6,P]
-        # t_p = sum_{d,i} W[d,i,j,p] dc[d,i,p]  -> [3,P]
-        t = jnp.einsum("dijp,dip->jp", W, dc_slot)
-        u = jnp.einsum("ijp,jp->ip", Vinv, t)        # [3,P]
-        # y_{d,i,p} = sum_j W[d,i,j,p] u[j,p]
-        y = jnp.einsum("dijp,jp->dip", W, u)
-        s = cam_psum(_reduce_to_cams_T(
-            jnp.moveaxis(y, 1, 0).reshape(6, -1), ids, n_cam))  # [C,6]
+        # t_j = sum_{d,i} W[i][j] dc[i]  -> [3][P]
+        t = [sum(W[i][j] * dc_slot[i] for i in range(6)).sum(0)
+             for j in range(3)]
+        u = [sum(Vinv[i, j] * t[j] for j in range(3))
+             for i in range(3)]                      # [3][P]
+        # y_i = sum_j W[i][j] u[j]  -> [6,D,P]
+        y = jnp.stack([
+            sum(W[i][j] * u[j][None, :] for j in range(3))
+            for i in range(6)])
+        s = cam_psum(_reduce_to_cams_T(y.reshape(6, -1), ids, n_cam))
         out = jnp.einsum("cij,cj->ci", Ud, x) - s
         return out * fix_mask[:, None]
 
@@ -379,7 +379,11 @@ def _pcg(S_apply, b, Minv, n_iters: int, tol: float = 1e-8):
 def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
                    fix_first: bool, cg_iters: int, cam_psum=None):
     """One damped GN step: matrix-free Schur + PCG, slots-last layout
-    (r [D,2,P], Jc [D,2,6,P], Jp [D,2,3,P]).  ``cam_psum`` (default
+    (r [2,D,P]; Jc/Jp = per-parameter column lists of [2,D,P]).  All
+    tiny-dim contractions are explicit Python loops over [D,P]/[P]
+    arrays — einsum/dot_general forms with million-sized batch dims of
+    2x6 matrices execute quasi-serially on TPU (measured 95x/obs slower)
+    and blow AOT compile time past an hour.  ``cam_psum`` (default
     identity) completes every camera-side reduction across point shards
     — the ONLY cross-shard communication the distributed mirror needs
     (parallel.dist_ba)."""
@@ -389,16 +393,21 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     D, P = p.slot_cam.shape
     ids = p.slot_cam.reshape(-1)
     # Camera blocks: U_c = sum JcT Jc, gc = -sum JcT r  (MXU one-hots).
-    JtJ = jnp.einsum("daip,dajp->dijp", Jc, Jc)          # [D,6,6,P]
+    JtJ = jnp.stack([
+        sum(Jc[i][a] * Jc[j][a] for a in range(2))
+        for i in range(6) for j in range(6)])            # [36,D,P]
     U = cam_psum(_reduce_to_cams_T(
-        jnp.moveaxis(JtJ, 3, 1).reshape(D * P, 36).T, ids,
-        n_cam)).reshape(n_cam, 6, 6)
-    gcv = jnp.einsum("daip,dap->dip", Jc, r)             # [D,6,P]
-    gc = -cam_psum(_reduce_to_cams_T(
-        jnp.moveaxis(gcv, 1, 0).reshape(6, -1), ids, n_cam))   # [C,6]
+        JtJ.reshape(36, -1), ids, n_cam)).reshape(n_cam, 6, 6)
+    gcv = jnp.stack([
+        sum(Jc[i][a] * r[a] for a in range(2))
+        for i in range(6)])                              # [6,D,P]
+    gc = -cam_psum(_reduce_to_cams_T(gcv.reshape(6, -1), ids, n_cam))
     # Point blocks: dense sums over slots.
-    V = jnp.einsum("daip,dajp->ijp", Jp, Jp)             # [3,3,P]
-    gp = -jnp.einsum("daip,dap->ip", Jp, r)              # [3,P]
+    V = jnp.stack([jnp.stack([
+        sum(Jp[i][a] * Jp[j][a] for a in range(2)).sum(0)
+        for j in range(3)]) for i in range(3)])          # [3,3,P]
+    gp = [-sum(Jp[i][a] * r[a] for a in range(2)).sum(0)
+          for i in range(3)]                             # [3][P]
 
     dU = jnp.maximum(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6)
     Ud = U + lam * dU[..., None] * jnp.eye(6, dtype=dt)
@@ -407,13 +416,16 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     Vd = V + lam * dV[:, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
     Vinv = _inv3x3_lanes(Vd, eps=1e-9)
 
-    W = jnp.einsum("daip,dajp->dijp", Jc, Jp)            # [D,6,3,P]
+    # W[i][j] = sum_a Jc_i,a * Jp_j,a  -> 6x3 list of [D,P]
+    W = [[sum(Jc[i][a] * Jp[j][a] for a in range(2)) for j in range(3)]
+         for i in range(6)]
 
     # rhs: b = gc - sum_slots W Vinv gp
-    u0 = jnp.einsum("ijp,jp->ip", Vinv, gp)
-    y0 = jnp.einsum("dijp,jp->dip", W, u0)               # [D,6,P]
-    b = gc - cam_psum(_reduce_to_cams_T(
-        jnp.moveaxis(y0, 1, 0).reshape(6, -1), ids, n_cam))
+    u0 = [sum(Vinv[i, j] * gp[j] for j in range(3)) for i in range(3)]
+    y0 = jnp.stack([
+        sum(W[i][j] * u0[j][None, :] for j in range(3))
+        for i in range(6)])                              # [6,D,P]
+    b = gc - cam_psum(_reduce_to_cams_T(y0.reshape(6, -1), ids, n_cam))
 
     fix_mask = jnp.ones((n_cam,), dt)
     if fix_first:
@@ -427,10 +439,12 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     dc = dc * fix_mask[:, None]
 
     # Point back-substitution: dp = Vinv (gp - sum_d W^T dc[cam]).
-    dc_slot = jnp.moveaxis(
-        _gather_cams_T(dc, ids, n_cam).reshape(6, D, P), 0, 1)
-    t = jnp.einsum("dijp,dip->jp", W, dc_slot)
-    dp = jnp.einsum("ijp,jp->ip", Vinv, gp - t)          # [3,P]
+    dc_slot = _gather_cams_T(dc, ids, n_cam).reshape(6, D, P)
+    t = [sum(W[i][j] * dc_slot[i] for i in range(6)).sum(0)
+         for j in range(3)]                              # [3][P]
+    dp = jnp.stack([
+        sum(Vinv[i, j] * (gp[j] - t[j]) for j in range(3))
+        for i in range(3)])                              # [3,P]
     return dc, dp.T
 
 

@@ -189,11 +189,17 @@ def march_rays_mip(
     next-steps #8): each trip first scans ``lookahead2`` super-segments
     of ``lookahead * seg_steps`` steps against a ``pool2``-cell dilated
     max mip and jumps to the first suspicious one, so empty sky advances
-    up to ``lookahead2 * lookahead * seg_steps`` steps per trip (~8x
-    fewer far-sky trips at the defaults).  Requires
-    ``lookahead * seg_steps * step <= pool2 * min(dx, dy)`` (same
-    coverage argument, one level up); ``GeoInverter`` picks a valid
-    ``pool2`` automatically.
+    up to ``lookahead2 * lookahead * seg_steps`` steps per trip.
+    Measured on v5e (tools/bench_raycast.py, chained): 9.7x over the
+    single-level march on all-sky batches (2.48 M rays/s), but ~27%
+    overhead on batches with rays inside the terrain relief band — so
+    the L2 scan self-activates (``lax.cond`` on a scalar carry) only
+    while the PREVIOUS trip found every active ray's whole level-1
+    window clear: the pure-sky regime where super-skips help, and
+    exactly zero overhead otherwise.
+    Requires ``lookahead * seg_steps * step <= pool2 * min(dx, dy)``
+    (same coverage argument, one level up); ``GeoInverter`` picks a
+    valid ``pool2`` automatically.
     """
     n = origins.shape[0]
     h, w = dem_data.shape
@@ -239,11 +245,11 @@ def march_rays_mip(
     dxr, dyr, dzr = directions[:, 0], directions[:, 1], directions[:, 2]
 
     def cond(state):
-        i, done, hit, istop = state
+        allclear, i, done, hit, istop = state
         return jnp.logical_not(jnp.all(done))
 
     def body(state):
-        i, done, hit, istop = state
+        allclear, i, done, hit, istop = state
 
         def outside(t):
             px = ox[:, None] + t * dxr[:, None]
@@ -251,26 +257,30 @@ def march_rays_mip(
             return ((px < x0) | (px > xmax) | (py < y0) | (py > ymax))
 
         if pool2 > 0:
-            # ---- level-2 scan: lookahead2 super-segments of seg2_len.
-            t2 = (i.astype(jnp.float32) * step)[:, None] \
-                + ks2[None, :] * seg2_len                 # [R,K2]
-            t2e = t2 + seg2_len
-            t2m = t2 + 0.5 * seg2_len
-            m2x = ox[:, None] + t2m * dxr[:, None]
-            m2y = oy[:, None] + t2m * dyr[:, None]
-            b2xi = jnp.clip(((m2x - x0) / b2x_size).astype(jnp.int32),
-                            0, wb2 - 1)
-            b2yi = jnp.clip(((m2y - y0) / b2y_size).astype(jnp.int32),
-                            0, hb2 - 1)
-            zmax2 = jnp.take(pooled2_flat, b2yi * wb2 + b2xi)
-            z2s = oz[:, None] + t2 * dzr[:, None]
-            z2e = oz[:, None] + t2e * dzr[:, None]
-            susp2 = ((jnp.minimum(z2s, z2e) <= zmax2)
-                     | outside(t2) | outside(t2e))
-            fs2 = jnp.where(susp2.any(axis=1),
-                            jnp.argmax(susp2, axis=1),
-                            jnp.int32(lookahead2))
-            i = i + fs2 * (lookahead * seg_steps)
+            # ---- level-2 scan: lookahead2 super-segments of seg2_len,
+            # active only once the fast hits have resolved (see doc).
+            def l2_scan(i):
+                t2 = (i.astype(jnp.float32) * step)[:, None] \
+                    + ks2[None, :] * seg2_len             # [R,K2]
+                t2e = t2 + seg2_len
+                t2m = t2 + 0.5 * seg2_len
+                m2x = ox[:, None] + t2m * dxr[:, None]
+                m2y = oy[:, None] + t2m * dyr[:, None]
+                b2xi = jnp.clip(((m2x - x0) / b2x_size).astype(jnp.int32),
+                                0, wb2 - 1)
+                b2yi = jnp.clip(((m2y - y0) / b2y_size).astype(jnp.int32),
+                                0, hb2 - 1)
+                zmax2 = jnp.take(pooled2_flat, b2yi * wb2 + b2xi)
+                z2s = oz[:, None] + t2 * dzr[:, None]
+                z2e = oz[:, None] + t2e * dzr[:, None]
+                susp2 = ((jnp.minimum(z2s, z2e) <= zmax2)
+                         | outside(t2) | outside(t2e))
+                fs2 = jnp.where(susp2.any(axis=1),
+                                jnp.argmax(susp2, axis=1),
+                                jnp.int32(lookahead2))
+                return i + fs2 * (lookahead * seg_steps)
+
+            i = jax.lax.cond(allclear, l2_scan, lambda i: i, i)
         t0 = i.astype(jnp.float32) * step                 # [R] arc length
 
         # ---- coarse scan: lookahead segments [t0 + k*seg, ...]
@@ -289,6 +299,7 @@ def march_rays_mip(
         suspicious = ((zmin_seg <= zmax_seg)
                       | outside(t_start) | outside(t_end))
         any_susp = suspicious.any(axis=1)
+        allclear = jnp.logical_not(jnp.any(any_susp & ~done))
         fs = jnp.where(any_susp,
                        jnp.argmax(suspicious, axis=1),
                        jnp.int32(lookahead))              # segments skipped
@@ -317,14 +328,14 @@ def march_rays_mip(
         istop = jnp.where(done, istop, jnp.where(any_stop, i_skip + first,
                                                  i_next))
         done = done | any_stop | (new_i >= max_steps)
-        return new_i, done, hit, istop
+        return allclear, new_i, done, hit, istop
 
     i0 = jnp.zeros(n, jnp.int32)
     done0 = jnp.zeros(n, bool)
     hit0 = jnp.zeros(n, bool)
     istop0 = jnp.full((n,), max_steps, jnp.int32)
-    _, done, hit, istop = jax.lax.while_loop(
-        cond, body, (i0, done0, hit0, istop0))
+    _, _, done, hit, istop = jax.lax.while_loop(
+        cond, body, (jnp.bool_(False), i0, done0, hit0, istop0))
     t_stop = istop.astype(jnp.float32) * step
     pos = origins + t_stop[:, None] * directions
     return pos, hit

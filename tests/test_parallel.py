@@ -187,3 +187,23 @@ def test_sharded_frontend_tracks_feed_sfm():
         assert fs == list(range(fs[0], fs[0] + len(fs))), (t, fs)
         assert len(fs) >= 3
     assert len(tids) >= 5
+
+
+@pytest.mark.slow
+def test_cli_sfm_demo_smoke(tmp_path, capsys):
+    """cli sfm --demo wiring: one command runs frontend -> tracks -> SfM
+    -> CG-BA and prints the frames/s table + ATE (VERDICT r2 #5)."""
+    import json
+
+    from ransac_tpu import cli as cli_mod
+
+    out = str(tmp_path / "demo.json")
+    rc = cli_mod.main(["sfm", "--demo", "8", "--out", out])
+    assert rc in (0, None)
+    text = capsys.readouterr().out
+    assert "frames/s" in text and "ATE" in text
+    d = json.load(open(out))
+    assert d["frames"] == 8
+    assert d["registered"] >= 6
+    assert d["observations"] > 50
+    assert np.isfinite(d["ate"])

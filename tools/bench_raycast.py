@@ -21,10 +21,18 @@ from ransac_tpu.pipelines import raycast
 from ransac_tpu.io import dem as demio
 
 
-def _scene(n_rays: int, seed: int = 0):
-    """Rugged synthetic DEM + rays from an elevated origin: ~70% hit
-    terrain at varying depths, ~30% skim to the far boundary (the
-    expensive far-sky case the mip levels target)."""
+def _scene(n_rays: int, kind: str, seed: int = 0):
+    """Rugged synthetic DEM + rays from 300 m above the terrain.
+
+    kind:
+      hit    rays descend into terrain (hit after ~300-3000 steps) — the
+             reference's typical query (boundary pixels -> ground)
+      sky    rays point upward: never hit, march the full 10k-step budget
+             unless skipped — the far-sky case the mip levels target
+      graze  rays skim within the terrain's relief band for km — the
+             adversarial case no skip structure can prune
+      mixed  60% hit / 30% sky / 10% graze
+    """
     from ransac_tpu.ops.geodesy import SceneFrame
 
     rng = np.random.default_rng(seed)
@@ -36,17 +44,34 @@ def _scene(n_rays: int, seed: int = 0):
                                  + 30.0 * np.sin((X + Y) / 400.0)))
     origins = np.repeat([[0.0, 0.0, 300.0]], n_rays, 0)
     d = rng.normal(size=(n_rays, 3))
-    d[:, 2] = -np.abs(d[:, 2]) * 0.12
-    k = n_rays * 7 // 10
-    d[k:, 2] = -np.abs(d[k:, 2]) * 0.004   # grazing rays: long marches
+
+    def set_dz(sl, lo, hi, sign):
+        k = sl.stop - sl.start
+        d[sl, 2] = sign * rng.uniform(lo, hi, k)
+
+    if kind == "hit":
+        set_dz(slice(0, n_rays), 0.1, 0.5, -1.0)
+    elif kind == "sky":
+        set_dz(slice(0, n_rays), 0.05, 0.3, +1.0)
+    elif kind == "graze":
+        set_dz(slice(0, n_rays), 0.002, 0.01, -1.0)
+    else:  # mixed
+        k1, k2 = int(0.6 * n_rays), int(0.9 * n_rays)
+        set_dz(slice(0, k1), 0.1, 0.5, -1.0)
+        set_dz(slice(k1, k2), 0.05, 0.3, +1.0)
+        set_dz(slice(k2, n_rays), 0.002, 0.01, -1.0)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     return (dem, jnp.asarray(origins, jnp.float32),
             jnp.asarray(d, jnp.float32))
 
 
-def bench(n_rays: int = 4096, max_steps: int = 10000):
-    dem, origins, dirs = _scene(n_rays)
+def bench(n_rays: int = 4096, max_steps: int = 10000,
+          kinds=("hit", "sky", "mixed")):
+  for kind in kinds:
+    print(f"--- scene: {kind} ---", flush=True)
+    dem, origins, dirs = _scene(n_rays, kind)
     arrs = dem.device_arrays()
+    dem_pack = demio.pack_bilinear(arrs[0])
     spacing = 30.0
     pool = 8
     seg_steps = min(max(int(pool * spacing / 1.0), 1), 32)
@@ -74,11 +99,12 @@ def bench(n_rays: int = 4096, max_steps: int = 10000):
                 if kw is None:
                     pos, hit = raycast.march_rays(
                         origins, d, *arrs, max_steps=max_steps,
-                        step=1.0, min_hit_step=150)
+                        step=1.0, min_hit_step=150, dem_pack=dem_pack)
                 else:
                     pos, hit = raycast.march_rays_mip(
                         origins, d, *arrs, max_steps=max_steps,
-                        step=1.0, min_hit_step=150, **kw)
+                        step=1.0, min_hit_step=150, dem_pack=dem_pack,
+                        **kw)
                 v = hit.sum().astype(jnp.float32)
                 return s + jnp.int32(1) + (v < -1).astype(jnp.int32), acc + v
             _, acc = jax.lax.fori_loop(0, n_rep, body,
@@ -91,11 +117,11 @@ def bench(n_rays: int = 4096, max_steps: int = 10000):
         if kw is None:
             pos, hit = raycast.march_rays(
                 origins, dirs, *arrs, max_steps=max_steps, step=1.0,
-                min_hit_step=150)
+                min_hit_step=150, dem_pack=dem_pack)
         else:
             pos, hit = raycast.march_rays_mip(
                 origins, dirs, *arrs, max_steps=max_steps, step=1.0,
-                min_hit_step=150, **kw)
+                min_hit_step=150, dem_pack=dem_pack, **kw)
         hit_frac = float(np.asarray(hit).mean())
         print(f"{name:22s} {dt * 1e3:8.3f} ms  "
               f"{n_rays / dt / 1e3:8.1f} k rays/s  hit={hit_frac:.2f}",
