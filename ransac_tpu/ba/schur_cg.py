@@ -45,8 +45,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ransac_tpu.ba.bundle import BAProblem, BAResult
-from ransac_tpu.ops import projection as proj
-from ransac_tpu.ops.rotation import exp_so3
 from ransac_tpu.utils.config import BundleAdjustConfig
 
 
@@ -102,12 +100,6 @@ def from_ba_problem(p: BAProblem, max_slots: int | None = None
         cameras=p.cameras, points=p.points, K=p.K,
         slot_cam=jnp.asarray(slot_cam), slot_uv=jnp.asarray(slot_uv),
         slot_w=jnp.asarray(slot_w))
-
-
-def _residual_one(cam6, X, uv, K):
-    R = exp_so3(cam6[:3])
-    pix, z = proj.project_points(X[None, :], R, cam6[3:6], K)
-    return pix[0] - uv
 
 
 _CHUNK = 65536  # slots per one-hot tile: [64k, C] transient, C <= ~1k
