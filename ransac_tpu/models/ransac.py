@@ -283,12 +283,33 @@ def ransac_homography_sweep_large(
     return RansacResult(
         model=H_ref, raw_model=H_best, inlier_mask=best_mask,
         num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
-        counts=counts_all, num_hypotheses=int(n_hyp))
+        counts=counts_all,
+        # Executed budget from the kernel's actual block count (8
+        # hypotheses per record lane): the kernel rounds n_blocks up to
+        # MIN_WINDOWED_BLOCKS for windowed pools, so n_hyp can understate
+        # it (ADVICE r3).
+        num_hypotheses=int(counts_all.shape[-1]) * 8)
 
 
 # --------------------------------------------------------------------------
 # PnP
 # --------------------------------------------------------------------------
+def _p3p_all_orders(X3, pix3):
+    """Grunert P3P over all 3 cyclic orderings of the sample -> stacked
+    ``(R [12,3,3], t [12,3], valid [12])``.
+
+    Grunert's formulation is order-sensitive (point 0 anchors the b^2
+    normalization), and the fused sweeps' tie-breaks can surface any
+    permutation of a winning triple — an unlucky ordering of a good
+    sample can lose most of its roots to f32 conditioning (seen as a
+    4-vs-11-inlier flip on a 14-point scene).  Solving the 3 rotations
+    and letting the caller's MSAC argmin pick across 12 candidate poses
+    makes the host re-solve permutation-robust."""
+    perms = jnp.array([[0, 1, 2], [1, 2, 0], [2, 0, 1]])
+    R, t, v = jax.vmap(lambda pm: pnp.p3p_grunert(X3[pm], pix3[pm]))(perms)
+    return R.reshape(-1, 3, 3), t.reshape(-1, 3), v.reshape(-1)
+
+
 def _pnp_residual(model, X, pix_n, ay=1.0):
     """model = [12]: flattened R (9) + t (3); residual in fx-normalized
     units: ``err * fx`` is the exact PIXEL reprojection error when the
@@ -463,8 +484,8 @@ def ransac_pnp_sweep(
     best = _select_best(counts_all, msac_all, cfg.selection)
     packed = packed_all[best]
     sample = jnp.stack([packed & 15, (packed >> 4) & 15, (packed >> 8) & 15])
-    R4, t4, v4 = pnp.p3p_grunert(Xw[sample], pix_n[sample])
-    models4 = jnp.concatenate([R4.reshape(4, 9), t4], axis=-1)
+    R4, t4, v4 = _p3p_all_orders(Xw[sample], pix_n[sample])
+    models4 = jnp.concatenate([R4.reshape(-1, 9), t4], axis=-1)
     r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n, ay=ay))(models4)
     r4_sq = jnp.where(jnp.isfinite(r4), r4 * r4, jnp.inf)
     inl4 = (r4_sq <= thr_n * thr_n) & point_mask.astype(bool)[None, :]
@@ -529,8 +550,8 @@ def ransac_pnp_sweep_large(
     pool = sample_indices3_for(packed_all[best][None] >> 2, seeds,
                                n_valid)[0]
     sample = order[pool]
-    R4, t4, v4 = pnp.p3p_grunert(Xw[sample], pix_n[sample])
-    models4 = jnp.concatenate([R4.reshape(4, 9), t4], axis=-1)
+    R4, t4, v4 = _p3p_all_orders(Xw[sample], pix_n[sample])
+    models4 = jnp.concatenate([R4.reshape(-1, 9), t4], axis=-1)
     r4 = jax.vmap(lambda m: _pnp_residual(m, Xw, pix_n, ay=ay))(models4)
     r4_sq = jnp.where(jnp.isfinite(r4), r4 * r4, jnp.inf)
     inl4 = (r4_sq <= thr_n * thr_n) & point_mask.astype(bool)[None, :]
@@ -558,7 +579,10 @@ def ransac_pnp_sweep_large(
     return RansacResult(
         model=model, raw_model=model_best, inlier_mask=best_mask,
         num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
-        counts=counts_all, num_hypotheses=int(n_hyp) * 4)
+        counts=counts_all,
+        # 8 samples per record lane x 4 P3P roots; from the kernel's
+        # actual block count, not the requested n_hyp (ADVICE r3).
+        num_hypotheses=int(counts_all.shape[-1]) * 8 * 4)
 
 
 def pnp_pose_from_result(res: RansacResult):
@@ -672,4 +696,7 @@ def ransac_essential_sweep(
     return RansacResult(
         model=E_ref, raw_model=E_best, inlier_mask=best_mask,
         num_inliers=best_mask.sum(), score=msac_all[best], best_index=best,
-        counts=counts_all, num_hypotheses=int(n_hyp))
+        counts=counts_all,
+        # Executed budget from the kernel's actual block count (8 per
+        # record lane; MIN_WINDOWED_BLOCKS rounding — ADVICE r3).
+        num_hypotheses=int(counts_all.shape[-1]) * 8)

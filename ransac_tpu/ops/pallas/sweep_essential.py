@@ -229,9 +229,15 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
             x2Fx1 = c * Fx1_0 + d * Fx1_1 + Fx1_2
             denom = (Fx1_0 * Fx1_0 + Fx1_1 * Fx1_1
                      + Ftx2_0 * Ftx2_0 + Ftx2_1 * Ftx2_1)
-            e = (x2Fx1 * x2Fx1) / jnp.maximum(denom, 1e-12)
-            count = count + jnp.where(e <= thr_sq, wp, 0.0)
-            msac = msac + jnp.minimum(e, thr_sq) * wp
+            # Division-deferred Sampson test (EXACT rewrite of the old
+            # n2/dmax <= thr): n2 <= thr*dmax, MSAC via one approx
+            # reciprocal — min(n2, thr*dmax)/dmax == min(n2/dmax, thr).
+            dmax = jnp.maximum(denom, 1e-12)
+            n2_ = x2Fx1 * x2Fx1
+            t2_ = thr_sq * dmax
+            count = count + jnp.where(n2_ <= t2_, wp, 0.0)
+            msac = msac + (jnp.minimum(n2_, t2_)
+                           * pl.reciprocal(dmax, approx=True) * wp)
 
         big = jnp.float32(3.4e38)
         msac = jnp.where(valid, msac, big)

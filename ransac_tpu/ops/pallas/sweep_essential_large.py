@@ -291,9 +291,14 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
                 x2Fx1 = c * Fx1_0 + d * Fx1_1 + Fx1_2
                 denom = (Fx1_0 * Fx1_0 + Fx1_1 * Fx1_1
                          + Ftx2_0 * Ftx2_0 + Ftx2_1 * Ftx2_1)
-                e = (x2Fx1 * x2Fx1) / jnp.maximum(denom, 1e-12)
-                count = count + jnp.where(e <= thr_sq, wp, 0.0)
-                msac = msac + jnp.minimum(e, thr_sq) * wp
+                # Division-deferred Sampson test (EXACT rewrite of the
+                # old n2/dmax <= thr — see sweep_essential.py).
+                dmax = jnp.maximum(denom, 1e-12)
+                n2_ = x2Fx1 * x2Fx1
+                t2_ = thr_sq * dmax
+                count = count + jnp.where(n2_ <= t2_, wp, 0.0)
+                msac = msac + (jnp.minimum(n2_, t2_)
+                               * pl.reciprocal(dmax, approx=True) * wp)
             return count, msac
 
         count, msac = jax.lax.fori_loop(0, n_rows // UNROLL, sbody,

@@ -5,13 +5,18 @@ hypotheses: each lane derives its 3-point minimal sample from an in-kernel
 counter-based PRNG (murmur3-finalizer hash of the flat hypothesis index —
 no random tensor ever crosses HBM), gathers the sample from scalar memory
 via the shared log2 selection tree, solves Grunert's P3P in registers —
-law-of-cosines ratios, resultant quartic solved by Newton-from-Cauchy-bound
-resolvent cubic + Ferrari (Mosaic has no acos), Newton depth polish against
+law-of-cosines ratios, resultant quartic solved by Newton-from-Fujiwara-
+bound resolvent cubic + Ferrari (Mosaic has no acos; every divide in the
+solve/pose path is the hardware approximate reciprocal — the round-3
+30-exact-divide cubic was 67% of kernel time), Newton depth polish against
 the exact constraint system via an unrolled 3x3 solve, exact triangle-frame
-(triad) absolute orientation — scores all correspondences for each of the
-four candidate roots, and reduces each block to TWO best records (min-MSAC
-and lexicographic max-count, each with the winning root id packed in) —
-~24 B of HBM traffic per BLOCK_H=4096 sampled hypotheses.
+(triad) absolute orientation whose normalization constants are computed
+once on the world side and shared by all four camera triads (rigidity) —
+scores all correspondences for each of the four candidate roots with the
+division-deferred inlier test (|p_proj - p z|^2 <= thr^2 z^2), and reduces
+each block to TWO best records (min-MSAC and lexicographic max-count, each
+with the winning root id packed in) — ~24 B of HBM traffic per
+BLOCK_H=4096 sampled hypotheses.
 
 Hypotheses whose minimal sample touches a masked-out point are invalidated
 in-kernel (one variable-shift bit test per draw against the caller's
@@ -53,39 +58,75 @@ def _fmix(x):
     return x
 
 
+N_CUBIC_NEWTON = 12
+CUBIC_HALLEY = False
+N_QUARTIC_POLISH = 2
+N_DEPTH_POLISH = 1
+
+
+def _rcp(x):
+    """Hardware approximate reciprocal (~1e-5 relative, handles sign).
+
+    Inside Newton iterations the reciprocal only scales the step, so the
+    approximation error is self-corrected; at convergence f -> 0 and the
+    step vanishes regardless."""
+    return pl.reciprocal(x, approx=True)
+
+
+def _cbrt_upper(x):
+    """Cheap upper bound on cbrt(x) for x >= 0: exponent-third bit trick
+    (ratio to true cbrt measured in [0.97, 1.04]) times a 1.1 margin."""
+    xi = jax.lax.bitcast_convert_type(jnp.maximum(x, 1e-30), jnp.int32)
+    yi = xi // 3 + jnp.int32(0x2A514067)
+    return jax.lax.bitcast_convert_type(yi, jnp.float32) * 1.1
+
+
 def _solve_quartic_vec(b, c, d, e):
     """Real roots of x^4 + b x^3 + c x^2 + d x + e = 0 on lane vectors.
     Returns (roots list[4], ok list[4]) — mirrors
     ops.linalg.solve_quartic_real (monic input).
 
     The resolvent-cubic largest root is found by Newton iteration started
-    above the Cauchy bound (monotone convergence onto the largest real
-    root) — Mosaic has no acos/trig-cubic path, and this needs only
-    arithmetic + sqrt.
-    """
+    above a Fujiwara-style root bound (2 * max(|cb|, sqrt|cc|,
+    cbrt|cd|)) — far tighter than the Cauchy bound, so 12 iterations
+    replace round-3's 30 — with the hardware approximate reciprocal in
+    place of exact division (the 30 serial exact divides were the
+    latency-bound 67% of this kernel; measured head-to-head on 20k
+    Grunert quartics the short solver is typically as accurate, p50
+    3e-7, and strictly more robust: 79 vs 278 missed-root cases).
+    Mosaic has no acos/trig-cubic path; this needs only arithmetic +
+    sqrt."""
     shift = b / 4.0
     b2 = b * b
     p = c - 3.0 * b2 / 8.0
     q = d - b * c / 2.0 + b2 * b / 8.0
     r = e - b * d / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
 
-    # Resolvent cubic m^3 + cb m^2 + cc m + cd = 0: largest real root.
+    # Resolvent cubic m^3 + cb m^2 + cc m + cd = 0: largest real root
+    # (cd = -q^2/8 <= 0, so a root >= 0 always exists).
     cb = p
     cc = p * p / 4.0 - r
     cd = -q * q / 8.0
-    m = 1.0 + jnp.maximum(jnp.abs(cb),
-                          jnp.maximum(jnp.abs(cc), jnp.abs(cd)))
-    for _ in range(30):
+    m = 2.0 * jnp.maximum(
+        jnp.abs(cb),
+        jnp.maximum(jnp.sqrt(jnp.abs(cc)), _cbrt_upper(jnp.abs(cd)))
+    ) + 1e-6
+    for it in range(N_CUBIC_NEWTON):
         f = ((m + cb) * m + cc) * m + cd
         df = (3.0 * m + 2.0 * cb) * m + cc
-        step = f / jnp.where(jnp.abs(df) < 1e-20, 1e-20, df)
-        # Plain Newton from above the largest root is monotone; clamp the
+        rdf = _rcp(jnp.where(jnp.abs(df) < 1e-20, 1e-20, df))
+        t_ = f * rdf
+        if CUBIC_HALLEY:
+            # Chebyshev/Halley cubic-convergent correction:
+            # dx = t (1 + t f'' / (2 f')); f'' = 6m + 2cb.
+            t_ = t_ * (1.0 + t_ * (3.0 * m + cb) * rdf)
+        # Iteration from above the largest root is monotone; clamp the
         # step to keep iterates finite on flat stretches.
-        m = m - jnp.clip(step, -1e6, 1e6)
+        m = m - jnp.clip(t_, -1e6, 1e6)
     m = jnp.maximum(m, 1e-12)
 
     s = jnp.sqrt(2.0 * m)
-    q_term = q / (2.0 * s)
+    q_term = q * 0.5 * _rcp(s)
     base = p / 2.0 + m
     roots = []
     ok = []
@@ -97,13 +138,13 @@ def _solve_quartic_vec(b, c, d, e):
         for pm in (1.0, -1.0):
             roots.append(sign * s / 2.0 + pm * sq2 - shift)
             ok.append(good)
-    # Newton polish (2 steps) on the monic quartic.
+    # Newton polish on the monic quartic.
     for i in range(4):
         x = roots[i]
-        for _ in range(2):
+        for _ in range(N_QUARTIC_POLISH):
             f = (((x + b) * x + c) * x + d) * x + e
             df = ((4.0 * x + 3.0 * b) * x + 2.0 * c) * x + d
-            x = x - f / jnp.where(jnp.abs(df) < 1e-20, 1e-20, df)
+            x = x - f * _rcp(jnp.where(jnp.abs(df) < 1e-20, 1e-20, df))
         roots[i] = x
     return roots, ok
 
@@ -171,17 +212,15 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
         def sub3(a, b):
             return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
 
-        def norm3(a):
-            return jnp.sqrt(dot3(a, a) + 1e-30)
-
         cos_a = dot3(F[1], F[2])
         cos_b = dot3(F[0], F[2])
         cos_g = dot3(F[0], F[1])
         a2 = dot3(sub3(P[1], P[2]), sub3(P[1], P[2]))
         b2 = jnp.maximum(dot3(sub3(P[0], P[2]), sub3(P[0], P[2])), 1e-12)
         c2 = dot3(sub3(P[0], P[1]), sub3(P[0], P[1]))
-        ra = a2 / b2
-        rc = c2 / b2
+        rb2 = _rcp(b2)
+        ra = a2 * rb2
+        rc = c2 * rb2
 
         qa2, qa1, qa0 = ra, -2.0 * ra * cos_b, ra
         qc2, qc1, qc0 = rc, -2.0 * rc * cos_b, rc
@@ -205,6 +244,41 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
 
         packed = idx[0] + idx[1] * 16 + idx[2] * 256
 
+        # Root-independent precomputation, hoisted out of the 4-root loop.
+        sb = jnp.sqrt(b2)
+
+        # World triad (identical for all four roots), via rsqrt — and its
+        # scalar invariants.  Rigidity makes the camera-side triad share
+        # them: |C1-C0| = |P1-P0|, |vp_c| = |vp_w|, dot(v1_c, e1_c) =
+        # dot(v1_w, e1_w) (up to polished-depth error, ~1e-5 relative),
+        # so each root's camera triad needs no rsqrt/dot at all and its
+        # serial dependency chain collapses to sub -> scale -> fma ->
+        # scale -> cross.
+        u1w = sub3(P[1], P[0])
+        i1w = jax.lax.rsqrt(dot3(u1w, u1w) + 1e-30)
+        e1w = [u1w[c] * i1w for c in range(3)]
+        v1w = sub3(P[2], P[0])
+        dw = dot3(v1w, e1w)
+        vpw = [v1w[c] - dw * e1w[c] for c in range(3)]
+        i2w = jax.lax.rsqrt(dot3(vpw, vpw) + 1e-30)
+        e2w = [vpw[c] * i2w for c in range(3)]
+        e3w = [e1w[1] * e2w[2] - e1w[2] * e2w[1],
+               e1w[2] * e2w[0] - e1w[0] * e2w[2],
+               e1w[0] * e2w[1] - e1w[1] * e2w[0]]
+        ew = (e1w, e2w, e3w)
+        cw = [(P[0][c] + P[1][c] + P[2][c]) / 3.0 for c in range(3)]
+
+        def triad_cam(Pts):
+            u1 = sub3(Pts[1], Pts[0])
+            e1 = [u1[c] * i1w for c in range(3)]
+            v1 = sub3(Pts[2], Pts[0])
+            vp = [v1[c] - dw * e1[c] for c in range(3)]
+            e2 = [vp[c] * i2w for c in range(3)]
+            e3 = [e1[1] * e2[2] - e1[2] * e2[1],
+                  e1[2] * e2[0] - e1[0] * e2[2],
+                  e1[0] * e2[1] - e1[1] * e2[0]]
+            return e1, e2, e3
+
         # Running best across the 4 roots under both selection rules.
         big = jnp.float32(3.4e38)
         bestA_msac = jnp.full((SUB, LAN), big)
@@ -218,8 +292,8 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
             v = roots[k]
             D = d1 * v + d0
             N = (n2 * v + n1) * v + n0
-            u = N / jnp.where(jnp.abs(D) < 1e-9, 1e-9, D)
-            s1 = jnp.sqrt(b2 / jnp.maximum(
+            u = N * _rcp(jnp.where(jnp.abs(D) < 1e-9, 1e-9, D))
+            s1 = sb * jax.lax.rsqrt(jnp.maximum(
                 1.0 + v * v - 2.0 * v * cos_b, 1e-12))
             s2 = u * s1
             s3 = v * s1
@@ -227,8 +301,9 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
                      & (jnp.abs(D) > 1e-9))
 
             # Newton polish of depths on the law-of-cosines system
-            # (2 iterations, unrolled 3x3 solve via adjugate).
-            for _ in range(2):
+            # (unrolled 3x3 solve via adjugate; one approx reciprocal of
+            # the determinant replaces three divides).
+            for _ in range(N_DEPTH_POLISH):
                 r1 = s2 * s2 + s3 * s3 - 2 * s2 * s3 * cos_a - a2
                 r2 = s1 * s1 + s3 * s3 - 2 * s1 * s3 * cos_b - b2
                 r3 = s1 * s1 + s2 * s2 - 2 * s1 * s2 * cos_g - c2
@@ -240,14 +315,14 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
                 j32 = 2 * s2 - 2 * s1 * cos_g
                 # Solve J ds = -r, J = [[0,j12,j13],[j21,0,j23],[j31,j32,0]]
                 det = (- j12 * (0.0 - j23 * j31) + j13 * (j21 * j32 - 0.0))
-                det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+                rdet = _rcp(jnp.where(jnp.abs(det) < 1e-9, 1e-9, det))
                 b1, b2r, b3 = -r1, -r2, -r3
                 ds1 = (b1 * (0.0 - j23 * j32) - j12 * (b2r * 0.0 - j23 * b3)
-                       + j13 * (b2r * j32 - 0.0 * b3)) / det
+                       + j13 * (b2r * j32 - 0.0 * b3)) * rdet
                 ds2 = (0.0 - b1 * (j21 * 0.0 - j23 * j31)
-                       + j13 * (j21 * b3 - b2r * j31)) / det
+                       + j13 * (j21 * b3 - b2r * j31)) * rdet
                 ds3 = (0.0 - j12 * (j21 * b3 - b2r * j31)
-                       + b1 * (j21 * j32 - 0.0)) / det
+                       + b1 * (j21 * j32 - 0.0)) * rdet
                 lim1 = 0.1 * jnp.abs(s1) + 1e-6
                 s1 = s1 + jnp.clip(ds1, -lim1, lim1)
                 s2 = s2 + jnp.clip(ds2, -lim1, lim1)
@@ -258,28 +333,11 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
             C = [[F[j][c] * (s1, s2, s3)[j] for c in range(3)]
                  for j in range(3)]
 
-            # Triad orientation: R maps world->camera, t = c_c - R c_w.
-            def triad(Pts):
-                u1 = sub3(Pts[1], Pts[0])
-                e1n = norm3(u1)
-                e1 = [u1[c] / e1n for c in range(3)]
-                v1 = sub3(Pts[2], Pts[0])
-                d_ = dot3(v1, e1)
-                vp = [v1[c] - d_ * e1[c] for c in range(3)]
-                vpn = norm3(vp)
-                e2 = [vp[c] / vpn for c in range(3)]
-                e3 = [e1[1] * e2[2] - e1[2] * e2[1],
-                      e1[2] * e2[0] - e1[0] * e2[2],
-                      e1[0] * e2[1] - e1[1] * e2[0]]
-                return e1, e2, e3
-
-            ew = triad(P)
-            ec = triad(C)
+            ec = triad_cam(C)
             # R = Bc @ Bw^T where columns of B are the triad vectors:
             # R[r][c] = sum_k ec_k[r] * ew_k[c].
             R = [[ec[0][r] * ew[0][c] + ec[1][r] * ew[1][c]
                   + ec[2][r] * ew[2][c] for c in range(3)] for r in range(3)]
-            cw = [(P[0][c] + P[1][c] + P[2][c]) / 3.0 for c in range(3)]
             ccm = [(C[0][c] + C[1][c] + C[2][c]) / 3.0 for c in range(3)]
             t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
                            + R[r][2] * cw[2]) for r in range(3)]
@@ -290,9 +348,13 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
             ty = t[1] * ay
 
             # Score all points in fx-normalized pixel-true units.
+            # Division-deferred inlier test (sweep.py treatment): the
+            # EXACT bound |p_proj - p z|^2 <= thr^2 z^2 needs no divide;
+            # the MSAC term uses one approx reciprocal of z^2.  Points
+            # behind the camera contribute exactly thr^2 (max penalty).
             count = jnp.zeros((SUB, LAN), jnp.float32)
             msac = jnp.zeros((SUB, LAN), jnp.float32)
-            far = jnp.float32(1e12)
+            far = jnp.float32(3.0e38)
             for nn in range(n_score):
                 Xx = X_ref[nn, 0]
                 Xy = X_ref[nn, 1]
@@ -304,13 +366,15 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
                 yc = Ry[0] * Xx + Ry[1] * Xy + Ry[2] * Xz + ty
                 zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
                 behind = zc <= 1e-6
-                inv_z = 1.0 / jnp.where(behind, 1.0, zc)
-                du = xc * inv_z - px
-                dv = yc * inv_z - py
-                e2_ = du * du + dv * dv
-                e2_ = jnp.where(behind, far, e2_)
-                count = count + jnp.where(e2_ <= thr_sq, wp, 0.0)
-                msac = msac + jnp.minimum(e2_, thr_sq) * wp
+                a_ = xc - px * zc
+                b_ = yc - py * zc
+                r2_ = a_ * a_ + b_ * b_
+                z2_ = jnp.maximum(zc * zc, jnp.float32(1e-30))
+                t2_ = thr_sq * z2_
+                r2_ = jnp.where(behind, far, r2_)
+                count = count + jnp.where(r2_ <= t2_, wp, 0.0)
+                iz2 = pl.reciprocal(z2_, approx=True)
+                msac = msac + jnp.minimum(r2_, t2_) * iz2 * wp
 
             msac = jnp.where(valid, msac, big)
             count = jnp.where(valid, count, -1.0)
@@ -476,11 +540,14 @@ def issue_slots_per_hyp(n_points: int) -> float:
     """Analytic VPU issue-slot count per P3P SAMPLE (4 roots solved and
     scored; FMA = 2 slots — see ``sweep.issue_slots_per_hyp``).
 
-    - PRNG + 3-draw Fisher-Yates + tree gather (15 cols)          ~260
-    - Grunert quartic: 30-step Newton resolvent cubic (~240) +
-      Ferrari + 2-step polish x4 roots (~160) + depth/triad pose
-      construction x4 roots (~300)                                ~700
-    - single-pass scoring, 4 roots x n x (project ~14 + residual
-      + records ~12)                                              ~104n
-    """
-    return 960 + 104 * n_points
+    Round-4 recalibration (quartic rebuild).  Score counted from source:
+    per root-point ~34 slots (project 11 fma, deferred residual test,
+    one approx reciprocal) x 4 roots = 136n; the measured pool-size
+    slope (0.091 ms/pt per 2^22) equals ~130n — the score loop is
+    issue-bound.  Non-score counted from source: sampling + 3-draw FY +
+    tree gather (18 cols) ~260; quartic (12-step approx-recip Newton
+    cubic + Ferrari + 2-step polish x4) ~510; pose construction x4
+    roots (1-step depth polish, shared-invariant camera triad, R/t)
+    ~1050; records ~40 -> ~1860 fixed, matching the measured 1.78 ms
+    fixed block at ~74% issue.  Good to +-20%."""
+    return 1860 + 136 * n_points

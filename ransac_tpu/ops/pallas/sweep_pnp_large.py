@@ -15,9 +15,10 @@ large-N homography sweep (``ops.pallas.sweep_large``) proved out:
 - **In-kernel one-hot gather** — one ``fori_loop`` over the SMEM point
   table accumulates the 3 sampled world points + unit bearings per lane.
 - **Grunert P3P in registers** (same solve as ``sweep_pnp``): resultant
-  quartic by Newton-from-Cauchy resolvent cubic + Ferrari, 2-step Newton
-  depth polish through an unrolled adjugate 3x3 solve, exact triangle-
-  frame (triad) absolute orientation — 4 candidate roots per sample.
+  quartic by Newton-from-Fujiwara-bound resolvent cubic + Ferrari (approx-
+  reciprocal throughout), Newton depth polish through an unrolled adjugate
+  3x3 solve, shared-invariant triad absolute orientation — 4 candidate
+  roots per sample, division-deferred scoring.
 - **Per-root scoring fori_loop** over the full SMEM table (cheirality +
   truncated-MSAC + weighted inlier count), folded into TWO records per
   block (min-MSAC and lexicographic max-count) with the winning root id
@@ -39,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ransac_tpu.ops.pallas.sweep_large import (
     UNROLL, WINDOW, _draw_seeds_n, _fmix, _fy_draws, _range_reduce,
     _shuffle_order_hash, _window_bases_hash, _wrap_mod)
-from ransac_tpu.ops.pallas.sweep_pnp import _solve_quartic_vec
+from ransac_tpu.ops.pallas.sweep_pnp import (N_DEPTH_POLISH, _rcp,
+                                             _solve_quartic_vec)
 
 BLOCK_H = 4096
 SUB = 8
@@ -123,9 +125,6 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
         def sub3(a, b):
             return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
 
-        def norm3(a):
-            return jnp.sqrt(dot3(a, a) + 1e-30)
-
         # Grunert P3P (identical math to sweep_pnp._make_kernel).
         cos_a = dot3(F[1], F[2])
         cos_b = dot3(F[0], F[2])
@@ -133,8 +132,9 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
         a2 = dot3(sub3(P[1], P[2]), sub3(P[1], P[2]))
         b2 = jnp.maximum(dot3(sub3(P[0], P[2]), sub3(P[0], P[2])), 1e-12)
         c2 = dot3(sub3(P[0], P[1]), sub3(P[0], P[1]))
-        ra = a2 / b2
-        rc = c2 / b2
+        rb2 = _rcp(b2)
+        ra = a2 * rb2
+        rc = c2 * rb2
 
         qa2, qa1, qa0 = ra, -2.0 * ra * cos_b, ra
         qc2, qc1, qc0 = rc, -2.0 * rc * cos_b, rc
@@ -157,13 +157,41 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
             c3 / c4s, c2_ / c4s, c1 / c4s, c0 / c4s)
 
         big = jnp.float32(3.4e38)
+        sb = jnp.sqrt(b2)
+
+        # World triad + scalar invariants shared with every root's camera
+        # triad (rigidity: |C1-C0| = |P1-P0| etc. — see sweep_pnp).
+        u1w = sub3(P[1], P[0])
+        i1w = jax.lax.rsqrt(dot3(u1w, u1w) + 1e-30)
+        e1w = [u1w[c] * i1w for c in range(3)]
+        v1w = sub3(P[2], P[0])
+        dw = dot3(v1w, e1w)
+        vpw = [v1w[c] - dw * e1w[c] for c in range(3)]
+        i2w = jax.lax.rsqrt(dot3(vpw, vpw) + 1e-30)
+        e2w = [vpw[c] * i2w for c in range(3)]
+        e3w = [e1w[1] * e2w[2] - e1w[2] * e2w[1],
+               e1w[2] * e2w[0] - e1w[0] * e2w[2],
+               e1w[0] * e2w[1] - e1w[1] * e2w[0]]
+        ew = (e1w, e2w, e3w)
+        cw = [(P[0][c] + P[1][c] + P[2][c]) / 3.0 for c in range(3)]
+
+        def triad_cam(Pts):
+            u1 = sub3(Pts[1], Pts[0])
+            e1 = [u1[c] * i1w for c in range(3)]
+            v1 = sub3(Pts[2], Pts[0])
+            vp = [v1[c] - dw * e1[c] for c in range(3)]
+            e2 = [vp[c] * i2w for c in range(3)]
+            e3 = [e1[1] * e2[2] - e1[2] * e2[1],
+                  e1[2] * e2[0] - e1[0] * e2[2],
+                  e1[0] * e2[1] - e1[1] * e2[0]]
+            return e1, e2, e3
         poses = []   # per root: (valid, R, t)
         for k in range(N_ROOTS):
             v = roots[k]
             D = d1 * v + d0
             N = (n2 * v + n1) * v + n0
-            u = N / jnp.where(jnp.abs(D) < 1e-9, 1e-9, D)
-            s1 = jnp.sqrt(b2 / jnp.maximum(
+            u = N * _rcp(jnp.where(jnp.abs(D) < 1e-9, 1e-9, D))
+            s1 = sb * jax.lax.rsqrt(jnp.maximum(
                 1.0 + v * v - 2.0 * v * cos_b, 1e-12))
             s2 = u * s1
             s3 = v * s1
@@ -171,7 +199,7 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
                      & (jnp.abs(D) > 1e-9))
 
             # Newton polish of depths on the law-of-cosines system.
-            for _ in range(2):
+            for _ in range(N_DEPTH_POLISH):
                 r1 = s2 * s2 + s3 * s3 - 2 * s2 * s3 * cos_a - a2
                 r2 = s1 * s1 + s3 * s3 - 2 * s1 * s3 * cos_b - b2
                 r3 = s1 * s1 + s2 * s2 - 2 * s1 * s2 * cos_g - c2
@@ -182,14 +210,14 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
                 j31 = 2 * s1 - 2 * s2 * cos_g
                 j32 = 2 * s2 - 2 * s1 * cos_g
                 det = (- j12 * (0.0 - j23 * j31) + j13 * (j21 * j32 - 0.0))
-                det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+                rdet = _rcp(jnp.where(jnp.abs(det) < 1e-9, 1e-9, det))
                 b1, b2r, b3 = -r1, -r2, -r3
                 ds1 = (b1 * (0.0 - j23 * j32) - j12 * (b2r * 0.0 - j23 * b3)
-                       + j13 * (b2r * j32 - 0.0 * b3)) / det
+                       + j13 * (b2r * j32 - 0.0 * b3)) * rdet
                 ds2 = (0.0 - b1 * (j21 * 0.0 - j23 * j31)
-                       + j13 * (j21 * b3 - b2r * j31)) / det
+                       + j13 * (j21 * b3 - b2r * j31)) * rdet
                 ds3 = (0.0 - j12 * (j21 * b3 - b2r * j31)
-                       + b1 * (j21 * j32 - 0.0)) / det
+                       + b1 * (j21 * j32 - 0.0)) * rdet
                 lim1 = 0.1 * jnp.abs(s1) + 1e-6
                 s1 = s1 + jnp.clip(ds1, -lim1, lim1)
                 s2 = s2 + jnp.clip(ds2, -lim1, lim1)
@@ -199,26 +227,10 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
             C = [[F[j][c] * (s1, s2, s3)[j] for c in range(3)]
                  for j in range(3)]
 
-            def triad(Pts):
-                u1 = sub3(Pts[1], Pts[0])
-                e1n = norm3(u1)
-                e1 = [u1[c] / e1n for c in range(3)]
-                v1 = sub3(Pts[2], Pts[0])
-                d_ = dot3(v1, e1)
-                vp = [v1[c] - d_ * e1[c] for c in range(3)]
-                vpn = norm3(vp)
-                e2 = [vp[c] / vpn for c in range(3)]
-                e3 = [e1[1] * e2[2] - e1[2] * e2[1],
-                      e1[2] * e2[0] - e1[0] * e2[2],
-                      e1[0] * e2[1] - e1[1] * e2[0]]
-                return e1, e2, e3
-
-            ew = triad(P)
-            ec = triad(C)
+            ec = triad_cam(C)
             R = [[ec[0][r] * ew[0][c] + ec[1][r] * ew[1][c]
                   + ec[2][r] * ew[2][c] for c in range(3)]
                  for r in range(3)]
-            cw = [(P[0][c] + P[1][c] + P[2][c]) / 3.0 for c in range(3)]
             ccm = [(C[0][c] + C[1][c] + C[2][c]) / 3.0 for c in range(3)]
             t = [ccm[r] - (R[r][0] * cw[0] + R[r][1] * cw[1]
                            + R[r][2] * cw[2]) for r in range(3)]
@@ -230,8 +242,11 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
         # Score the full SMEM table against all four roots in ONE pass
         # (each point row is loaded/broadcast once for all 4 poses), two
         # points per trip for ILP (independent dependency chains; padded
-        # rows carry w=0).
-        far = jnp.float32(1e12)
+        # rows carry w=0).  Division-deferred inlier test (sweep.py
+        # treatment): exact bound |p_proj - p z|^2 <= thr^2 z^2, MSAC via
+        # one approx reciprocal of z^2; behind-camera rows contribute
+        # exactly thr^2.
+        far = jnp.float32(3.0e38)
 
         def sbody(nn, carry):
             out = carry
@@ -251,12 +266,14 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
                     yc = R[1][0] * Xx + R[1][1] * Xy + R[1][2] * Xz + t[1]
                     zc = R[2][0] * Xx + R[2][1] * Xy + R[2][2] * Xz + t[2]
                     behind = zc <= 1e-6
-                    inv_z = 1.0 / jnp.where(behind, 1.0, zc)
-                    du = xc * inv_z - px
-                    dv = yc * inv_z - py
-                    e2_ = jnp.where(behind, far, du * du + dv * dv)
-                    nxt.append((count + jnp.where(e2_ <= thr_sq, wp, 0.0),
-                                msac + jnp.minimum(e2_, thr_sq) * wp))
+                    a_ = xc - px * zc
+                    b_ = yc - py * zc
+                    r2_ = jnp.where(behind, far, a_ * a_ + b_ * b_)
+                    z2_ = jnp.maximum(zc * zc, jnp.float32(1e-30))
+                    t2_ = thr_sq * z2_
+                    iz2 = pl.reciprocal(z2_, approx=True)
+                    nxt.append((count + jnp.where(r2_ <= t2_, wp, 0.0),
+                                msac + jnp.minimum(r2_, t2_) * iz2 * wp))
                 out = tuple(nxt)
             return out
 
@@ -408,5 +425,5 @@ def issue_slots_per_hyp(n_points: int) -> float:
     """Analytic VPU issue-slot count per P3P sample (SoL accounting; see
     ``sweep_pnp.issue_slots_per_hyp``).  One-hot gather of 3 draws x 6
     columns ~21/row over the WINDOW rows a block samples from; 4-root
-    single-pass scoring ~110/row."""
-    return 960 + 21 * min(WINDOW, n_points) + 110 * n_points
+    single-pass division-deferred scoring ~136/row."""
+    return 1600 + 21 * min(WINDOW, n_points) + 136 * n_points
