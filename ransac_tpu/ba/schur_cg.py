@@ -102,7 +102,7 @@ def from_ba_problem(p: BAProblem, max_slots: int | None = None
         slot_w=jnp.asarray(slot_w))
 
 
-_CHUNK = 65536  # slots per one-hot tile: [64k, C] transient, C <= ~1k
+_CHUNK = 131072  # slots per one-hot tile
 
 
 def _pad_last(a: jnp.ndarray, fill):
@@ -114,45 +114,108 @@ def _pad_last(a: jnp.ndarray, fill):
     return a
 
 
+def _oh_lo(ids_lo: jnp.ndarray, lo: int, dtype):
+    """One-hot of ``ids_lo`` [n] built DIRECTLY in [lo, n] orientation —
+    materializing [n, C] and transposing is what made the round-3
+    contractions slow."""
+    return (jnp.arange(lo, dtype=jnp.int32)[:, None] == ids_lo[None, :]
+            ).astype(dtype)
+
+
+def _gather_G(C: int) -> int:
+    return 4 if C > 128 else 1
+
+
+def _reduce_G(C: int) -> int:
+    return 8 if C > 128 else 1
+
+
 def _gather_cams_T(table: jnp.ndarray, ids: jnp.ndarray, C: int):
-    """``[k, N]`` table rows for flat int ids ``[N]`` via tiled one-hot
-    matmuls (XLA's take from a tiny table serializes on TPU; a single
-    one-hot at millions of slots would be GBs — lax.map keeps the
-    transient at [_CHUNK, C])."""
+    """``[k, N]`` table rows for flat int ids ``[N]``.
+
+    Tiled hi/lo group-folded one-hot MXU contractions (round 4): ids
+    split into ``hi = id // lo_n`` (G groups folded into the contraction
+    LHS rows) and ``lo = id % lo_n`` (one-hot built directly in
+    [lo_n, chunk] orientation so the big slot axis is the output MINOR
+    dim).  The round-3 form ([chunk, C] one-hot @ [C, k]) padded the
+    k=6 output to 128 lanes — 21x machine-FLOP waste; this form runs
+    [G*k, lo_n] @ [lo_n, chunk] + a G-way select, measured 2.5x faster
+    at C=512 / N=2M (0.55 ms vs 1.36).  XLA's take and segment_sum were
+    both re-measured and remain far slower (3 ms / 15-19 ms)."""
     k = table.shape[-1]
     n = ids.shape[0]
-    if n <= _CHUNK:
-        oh = jax.nn.one_hot(ids, C, dtype=table.dtype)
-        return (oh @ table).T                              # [k, N]
-    ids_p = _pad_last(ids, 0).reshape(-1, _CHUNK)
+    dt = table.dtype
+    G = _gather_G(C)
+    lo_n = -(-C // G)
+    tpad = table
+    if G * lo_n != C:
+        tpad = jnp.concatenate(
+            [table, jnp.zeros((G * lo_n - C, k), dt)], axis=0)
+    # [(g,k), lo_n]: group-folded table, lo minormost.
+    t2 = jnp.moveaxis(tpad.reshape(G, lo_n, k), 1, 2).reshape(G * k, lo_n)
 
     def one(ids_c):
-        return (jax.nn.one_hot(ids_c, C, dtype=table.dtype) @ table).T
+        idh = ids_c // lo_n
+        idl = ids_c % lo_n
+        oh = _oh_lo(idl, lo_n, dt)                       # [lo_n, chunk]
+        allg = jax.lax.dot_general(
+            t2, oh, (((1,), (0,)), ((), ())))            # [(g,k), chunk]
+        if G == 1:
+            return allg
+        allg = allg.reshape(G, k, -1)
+        sel = (jnp.arange(G, dtype=jnp.int32)[:, None] == idh[None, :]
+               ).astype(dt)                              # [G, chunk]
+        return jnp.einsum("gkc,gc->kc", allg, sel)
 
-    out = jax.lax.map(one, ids_p)                          # [B, k, CHUNK]
+    if n <= _CHUNK:
+        return one(ids)
+    ids_p = _pad_last(ids, 0).reshape(-1, _CHUNK)
+    out = jax.lax.map(one, ids_p)                        # [B, k, CHUNK]
     return jnp.moveaxis(out, 0, 1).reshape(k, -1)[:, :n]
 
 
 def _reduce_to_cams_T(values: jnp.ndarray, ids: jnp.ndarray, C: int):
     """``sum_{slots with id==c} values`` -> [C, k]; ``values`` [k, N]
-    (slots minor), ``ids`` [N].  Tiled one-hot MXU contractions over the
-    slot axis.  Padding slots carry id 0 and ZERO values (callers weight
-    by slot_w), so they contribute nothing."""
+    (slots minor), ``ids`` [N].  Padding slots carry id 0 and ZERO
+    values (callers weight by slot_w), so they contribute nothing.
+
+    Same hi/lo group folding as ``_gather_cams_T`` for small k (<= 8):
+    values are masked into G hi-group copies ([G*k, chunk]) and ONE
+    [G*k, chunk] @ [chunk, lo_n] contraction reduces them — 7.5x faster
+    than the round-3 [chunk, C]-one-hot form at k=6 / C=512 / N=2M
+    (0.37 ms vs 2.8).  For larger k (the 36-entry JtJ blocks) the fold
+    multiplies LHS rows past the MXU tile and measures slower, so the
+    round-3 orientation is kept with the direct [lo, chunk] one-hot."""
     k = values.shape[0]
     n = ids.shape[0]
-    if n <= _CHUNK:
-        oh = jax.nn.one_hot(ids, C, dtype=values.dtype)
-        return jnp.einsum("nc,kn->ck", oh, values)
-    v_p = _pad_last(values, 0.0).reshape(k, -1, _CHUNK)
-    id_p = _pad_last(ids, 0).reshape(-1, _CHUNK)
+    dt = values.dtype
+    G = _reduce_G(C) if k <= 8 else 1
+    lo_n = -(-C // G)
 
     def one(args):
-        ids_c, v_c = args
-        oh = jax.nn.one_hot(ids_c, C, dtype=values.dtype)
-        return jnp.einsum("nc,kn->ck", oh, v_c)
+        ids_c, v_c = args                                # [chunk], [k,chunk]
+        idh = ids_c // lo_n
+        idl = ids_c % lo_n
+        oh = _oh_lo(idl, lo_n, dt)                       # [lo_n, chunk]
+        if G == 1:
+            return jax.lax.dot_general(
+                v_c, oh, (((1,), (1,)), ((), ())))       # [k, lo_n]
+        sel = (jnp.arange(G, dtype=jnp.int32)[:, None] == idh[None, :]
+               ).astype(dt)                              # [G, chunk]
+        vm = (v_c[:, None, :] * sel[None, :, :]).reshape(k * G, -1)
+        return jax.lax.dot_general(
+            vm, oh, (((1,), (1,)), ((), ())))            # [k*G, lo_n]
 
-    return jnp.sum(
-        jax.lax.map(one, (id_p, jnp.moveaxis(v_p, 1, 0))), axis=0)
+    if n <= _CHUNK:
+        out = one((ids, values))
+    else:
+        v_p = _pad_last(values, 0.0).reshape(k, -1, _CHUNK)
+        id_p = _pad_last(ids, 0).reshape(-1, _CHUNK)
+        out = jnp.sum(
+            jax.lax.map(one, (id_p, jnp.moveaxis(v_p, 1, 0))), axis=0)
+    # [k(*G), lo_n] -> [C, k]
+    out = out.reshape(k, G * lo_n).T if G > 1 else out.T
+    return out[:C]
 
 
 def slot_cost(p: BASlotProblem, cameras, points, huber_scale: float = 0.0):
@@ -305,71 +368,167 @@ def _inv_spd_6x6(A: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     ], axis=-2)
 
 
+def _assemble_cam_blocks(Jc, r, ids, C: int, cam_psum):
+    """Camera normal-equation blocks in ONE chunked one-hot pass:
+    ``U [C,6,6]`` (= sum JcT Jc) and ``gc [C,6]`` (= -sum JcT r).
+
+    Round 4: the round-3 path materialized the full [36, N] JtJ stack
+    (288 MB at 2M slots — measured ~6.5 ms of pure HBM traffic) before
+    reducing it.  Here the 21 unique symmetric entries + 6 gradient rows
+    are computed chunk-locally inside the reduction map and contracted
+    immediately — nothing larger than [27, chunk] ever exists."""
+    dt = r.dtype
+    iu = [(i, j) for i in range(6) for j in range(i, 6)]   # 21 upper
+    Jf = [jc.reshape(2, -1) for jc in Jc]
+    rf = r.reshape(2, -1)
+    n = rf.shape[-1]
+    pad = (-n) % _CHUNK
+    if pad:
+        Jf = [jnp.pad(a, ((0, 0), (0, pad))) for a in Jf]
+        rf = jnp.pad(rf, ((0, 0), (0, pad)))
+        ids = jnp.pad(ids, (0, pad))
+    B = ids.shape[0] // _CHUNK
+    idp = ids.reshape(B, _CHUNK)
+    Jch = [jnp.moveaxis(a.reshape(2, B, _CHUNK), 1, 0) for a in Jf]
+    rch = jnp.moveaxis(rf.reshape(2, B, _CHUNK), 1, 0)
+
+    def one(args):
+        ids_c, rc, *jcs = args
+        rows = [jcs[i][0] * jcs[j][0] + jcs[i][1] * jcs[j][1]
+                for (i, j) in iu]
+        rows += [jcs[i][0] * rc[0] + jcs[i][1] * rc[1] for i in range(6)]
+        vm = jnp.stack(rows)                               # [27, chunk]
+        oh = _oh_lo(ids_c, C, dt)                          # [C, chunk]
+        return jax.lax.dot_general(
+            vm, oh, (((1,), (1,)), ((), ())))              # [27, C]
+
+    out = jnp.sum(jax.lax.map(one, (idp, rch, *Jch)), axis=0)
+    out = cam_psum(out.T)                                  # [C, 27]
+    U = jnp.zeros((C, 6, 6), dt)
+    for k, (i, j) in enumerate(iu):
+        U = U.at[:, i, j].set(out[:, k])
+        if i != j:
+            U = U.at[:, j, i].set(out[:, k])
+    gc = -out[:, 21:27]
+    return U, gc
+
+
+UNROLL_D = 16  # static per-row unroll limit (compile-size guard)
+
+
+def _row_loop(D: int, slot_cam, W, row_fn, init):
+    """Accumulate ``row_fn(ids_d [P], Wd [6,3,P], acc)`` over the D slot
+    rows.  Static Python unroll for small D (measured fastest: basic
+    slices fuse into the one-hot contractions); fori_loop with dynamic
+    d-major indexing for large D (SfM tracks reach D ~ 60 — a static
+    unroll would scale the program with D)."""
+    if D <= UNROLL_D:
+        acc = init
+        for d in range(D):
+            acc = row_fn(slot_cam[d], W[d], acc)
+        return acc
+
+    def body(d, acc):
+        ids_d = jax.lax.dynamic_index_in_dim(slot_cam, d, 0, False)
+        Wd = jax.lax.dynamic_index_in_dim(W, d, 0, False)
+        return row_fn(ids_d, Wd, acc)
+
+    return jax.lax.fori_loop(0, D, body, init)
+
+
 def _cg_step_operator(W, Vinv, slot_cam, Ud, n_cam, fix_mask, cam_psum):
     """Returns S_apply(x): the damped Schur operator
     (Ud - W V^-1 W^T) x, matrix-free in the slots-last layout.
-    ``W`` is a 6x3 nested list of [D,P] arrays (explicit loops, NOT
-    einsum: batched tiny dot_generals execute quasi-serially on TPU).
-    ``cam_psum`` completes camera-side reductions across point shards
-    (identity on a single device)."""
+    ``W`` is the stacked d-major [D, 6, 3, P] cross-block array
+    (explicit small loops, NOT einsum: batched tiny dot_generals execute
+    quasi-serially on TPU).  ``cam_psum`` completes camera-side
+    reductions across point shards (identity on a single device).
+
+    Round 4: processed PER SLOT ROW d (``_row_loop``) so no [6, D, P]
+    tensor is ever materialized — the round-3 form built dc_slot and y
+    (48 MB each at 2M slots) plus per-term temporaries, and measured
+    3.9 ms/application; the per-row form measures ~1.9 ms with identical
+    results.  Each row's camera gather/reduce uses the group-folded
+    one-hot contractions."""
     D, P = slot_cam.shape
-    ids = slot_cam.reshape(-1)
 
     def S_apply(x):                                  # x [C,6]
         x = x * fix_mask[:, None]
-        dc_slot = _gather_cams_T(x, ids, n_cam).reshape(6, D, P)
-        # t_j = sum_{d,i} W[i][j] dc[i]  -> [3][P]
-        t = [sum(W[i][j] * dc_slot[i] for i in range(6)).sum(0)
-             for j in range(3)]
-        u = [sum(Vinv[i, j] * t[j] for j in range(3))
-             for i in range(3)]                      # [3][P]
-        # y_i = sum_j W[i][j] u[j]  -> [6,D,P]
-        y = jnp.stack([
-            sum(W[i][j] * u[j][None, :] for j in range(3))
-            for i in range(6)])
-        s = cam_psum(_reduce_to_cams_T(y.reshape(6, -1), ids, n_cam))
+
+        # t[j, p] = sum_{d,i} W[d][i][j] x[cam[d], i]
+        def trow(ids_d, Wd, t):
+            dch = _gather_cams_T(x, ids_d, n_cam)    # [6, P]
+            return t + jnp.stack([
+                sum(Wd[i, j] * dch[i] for i in range(6))
+                for j in range(3)])
+
+        t = _row_loop(D, slot_cam, W, trow, jnp.zeros((3, P), x.dtype))
+        u = jnp.stack([sum(Vinv[i, j] * t[j] for j in range(3))
+                       for i in range(3)])           # [3,P]
+
+        # s_c = sum_{d,p: cam=c} W[d][:, :, p] u[p]
+        def srow(ids_d, Wd, s):
+            y_d = jnp.stack([sum(Wd[i, j] * u[j] for j in range(3))
+                             for i in range(6)])     # [6, P]
+            return s + _reduce_to_cams_T(y_d, ids_d, n_cam)
+
+        s = _row_loop(D, slot_cam, W, srow,
+                      jnp.zeros((n_cam, 6), x.dtype))
+        s = cam_psum(s)
         out = jnp.einsum("cij,cj->ci", Ud, x) - s
         return out * fix_mask[:, None]
 
     return S_apply
 
 
-def _pcg(S_apply, b, Minv, n_iters: int, tol: float = 1e-8):
+def _pcg(S_apply, b, Minv, n_iters: int, tol: float = 1e-8, x0=None):
     """Preconditioned conjugate gradient on the [C,6] camera system.
-    Minv: [C,6,6] block-Jacobi preconditioner."""
+    Minv: [C,6,6] block-Jacobi preconditioner.
+
+    Round 4: a ``while_loop`` with a relative-residual exit (each S
+    application costs a full slot pass, so stopping early SAVES that
+    pass — the round-3 fixed-trip freeze still paid it), and an optional
+    warm start ``x0`` (the previous LM iteration's camera step; costs
+    one extra S application, typically saves several)."""
 
     def prec(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - S_apply(x0)
     z0 = prec(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0)
     bb = jnp.maximum(jnp.sum(b * b), 1e-30)
 
-    def body(_, state):
-        x, r, p, rz = state
+    def cond(state):
+        it, x, r, p, rz = state
+        return (it < n_iters) & (jnp.sum(r * r) > tol * bb)
+
+    def body(state):
+        it, x, r, p, rz = state
         Sp = S_apply(p)
         denom = jnp.sum(p * Sp)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
-        # Freeze once converged (fixed trip count keeps XLA happy).
-        live = jnp.sum(r * r) > tol * bb
-        alpha = jnp.where(live, alpha, 0.0)
         x = x + alpha * p
         r = r - alpha * Sp
         z = prec(r)
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-        p = z + jnp.where(live, beta, 0.0) * p
-        return x, r, p, rz_new
+        p = z + beta * p
+        return it + 1, x, r, p, rz_new
 
-    x, r, _, _ = jax.lax.fori_loop(0, n_iters, body, (x0, r0, p0, rz0))
+    _, x, r, _, _ = jax.lax.while_loop(cond, body,
+                                       (jnp.asarray(0), x0, r0, p0, rz0))
     return x
 
 
 def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
-                   fix_first: bool, cg_iters: int, cam_psum=None):
+                   fix_first: bool, cg_iters: int, cam_psum=None,
+                   cg_tol: float = 1e-4, dc_warm=None):
     """One damped GN step: matrix-free Schur + PCG, slots-last layout
     (r [2,D,P]; Jc/Jp = per-parameter column lists of [2,D,P]).  All
     tiny-dim contractions are explicit Python loops over [D,P]/[P]
@@ -384,16 +543,10 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     dt = r.dtype
     D, P = p.slot_cam.shape
     ids = p.slot_cam.reshape(-1)
-    # Camera blocks: U_c = sum JcT Jc, gc = -sum JcT r  (MXU one-hots).
-    JtJ = jnp.stack([
-        sum(Jc[i][a] * Jc[j][a] for a in range(2))
-        for i in range(6) for j in range(6)])            # [36,D,P]
-    U = cam_psum(_reduce_to_cams_T(
-        JtJ.reshape(36, -1), ids, n_cam)).reshape(n_cam, 6, 6)
-    gcv = jnp.stack([
-        sum(Jc[i][a] * r[a] for a in range(2))
-        for i in range(6)])                              # [6,D,P]
-    gc = -cam_psum(_reduce_to_cams_T(gcv.reshape(6, -1), ids, n_cam))
+    # Camera blocks: U_c = sum JcT Jc, gc = -sum JcT r — one fused
+    # chunked one-hot pass (symmetric 21 + 6 rows; see
+    # _assemble_cam_blocks).
+    U, gc = _assemble_cam_blocks(Jc, r, ids, n_cam, cam_psum)
     # Point blocks: dense sums over slots.
     V = jnp.stack([jnp.stack([
         sum(Jp[i][a] * Jp[j][a] for a in range(2)).sum(0)
@@ -408,16 +561,29 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     Vd = V + lam * dV[:, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
     Vinv = _inv3x3_lanes(Vd, eps=1e-9)
 
-    # W[i][j] = sum_a Jc_i,a * Jp_j,a  -> 6x3 list of [D,P]
-    W = [[sum(Jc[i][a] * Jp[j][a] for a in range(2)) for j in range(3)]
-         for i in range(6)]
+    # W[d, i, j] = sum_a Jc_i,a * Jp_j,a, stacked d-MAJOR [D, 6, 3, P]
+    # (each row slice W[d] is then one contiguous [6, 3, P] block).  The
+    # optimization barrier forces ONE materialization: the per-slot-row
+    # consumers downstream (S_apply, rhs, back-substitution) slice W at
+    # [d] many times, and without the barrier XLA fuses the Jc*Jp
+    # expression into every slice — recomputing W from the Jacobians
+    # dozens of times per LM iteration.
+    W = jax.lax.optimization_barrier(jnp.moveaxis(jnp.stack([
+        jnp.stack([sum(Jc[i][a] * Jp[j][a] for a in range(2))
+                   for j in range(3)]) for i in range(6)]), 2, 0))
 
-    # rhs: b = gc - sum_slots W Vinv gp
-    u0 = [sum(Vinv[i, j] * gp[j] for j in range(3)) for i in range(3)]
-    y0 = jnp.stack([
-        sum(W[i][j] * u0[j][None, :] for j in range(3))
-        for i in range(6)])                              # [6,D,P]
-    b = gc - cam_psum(_reduce_to_cams_T(y0.reshape(6, -1), ids, n_cam))
+    # rhs: b = gc - sum_slots W Vinv gp (per slot row — no [6,D,P]).
+    u0 = jnp.stack([sum(Vinv[i, j] * gp[j] for j in range(3))
+                    for i in range(3)])                  # [3,P]
+
+    def y0row(ids_d, Wd, acc):
+        y0_d = jnp.stack([sum(Wd[i, j] * u0[j] for j in range(3))
+                          for i in range(6)])            # [6,P]
+        return acc + _reduce_to_cams_T(y0_d, ids_d, n_cam)
+
+    y0_acc = _row_loop(D, p.slot_cam, W, y0row,
+                       jnp.zeros((n_cam, 6), dt))
+    b = gc - cam_psum(y0_acc)
 
     fix_mask = jnp.ones((n_cam,), dt)
     if fix_first:
@@ -425,41 +591,55 @@ def _schur_cg_step(p: BASlotProblem, r, Jc, Jp, lam, n_cam,
     b = b * fix_mask[:, None]
 
     Minv = _inv_spd_6x6(Ud + 1e-8 * jnp.eye(6, dtype=dt))
+    # Materialize every CG-loop constant once (same rationale as the W
+    # barrier above: expressions captured by the while-loop body are
+    # otherwise re-fused — and recomputed — per CG iteration).
+    W, Vinv, Ud, Minv = jax.lax.optimization_barrier((W, Vinv, Ud, Minv))
     S_apply = _cg_step_operator(W, Vinv, p.slot_cam, Ud, n_cam,
                                 fix_mask, cam_psum)
-    dc = _pcg(S_apply, b, Minv, cg_iters)
+    dc = _pcg(S_apply, b, Minv, cg_iters, tol=cg_tol, x0=dc_warm)
     dc = dc * fix_mask[:, None]
 
-    # Point back-substitution: dp = Vinv (gp - sum_d W^T dc[cam]).
-    dc_slot = _gather_cams_T(dc, ids, n_cam).reshape(6, D, P)
-    t = [sum(W[i][j] * dc_slot[i] for i in range(6)).sum(0)
-         for j in range(3)]                              # [3][P]
+    # Point back-substitution: dp = Vinv (gp - sum_d W^T dc[cam]),
+    # per slot row (no [6,D,P] materialization).
+    def trow(ids_d, Wd, t):
+        dch = _gather_cams_T(dc, ids_d, n_cam)           # [6,P]
+        return t + jnp.stack([
+            sum(Wd[i, j] * dch[i] for i in range(6)) for j in range(3)])
+
+    t = _row_loop(D, p.slot_cam, W, trow, jnp.zeros((3, P), dt))
     dp = jnp.stack([
         sum(Vinv[i, j] * (gp[j] - t[j]) for j in range(3))
         for i in range(3)])                              # [3,P]
     return dc, dp.T
 
 
-@partial(jax.jit, static_argnames=("cfg", "fix_first_camera", "cg_iters"))
+@partial(jax.jit, static_argnames=("cfg", "fix_first_camera", "cg_iters",
+                                   "cg_tol"))
 def bundle_adjust_cg(
     p: BASlotProblem, cfg: BundleAdjustConfig = BundleAdjustConfig(),
     fix_first_camera: bool = True, cg_iters: int = 24,
+    cg_tol: float = 1e-4,
 ) -> BAResult:
     """LM bundle adjustment with matrix-free PCG Schur solves.
 
     Same damping/accept schedule as ``ba.bundle.bundle_adjust``; scales
     to [C >= 512, P >= 200k, slots in the millions] where the dense path
-    cannot allocate.
+    cannot allocate.  Each inner PCG exits at relative residual
+    ``sqrt(cg_tol)`` (inexact-Newton: the step only needs to point
+    downhill well, and every extra CG iteration is a full slot pass) and
+    warm-starts from the previous LM iteration's camera step.
     """
     n_cam = p.cameras.shape[0]
     c0 = slot_cost(p, p.cameras, p.points, cfg.huber_scale)
 
     def body(state):
-        cams, pts, lam, cost, it, done = state
+        cams, pts, lam, cost, it, done, dc_prev = state
         pb = p._replace(cameras=cams, points=pts)
         r, Jc, Jp = _slot_blocks(pb, cams, pts, cfg.huber_scale)
         dc, dp = _schur_cg_step(pb, r, Jc, Jp, lam, n_cam,
-                                fix_first_camera, cg_iters)
+                                fix_first_camera, cg_iters,
+                                cg_tol=cg_tol, dc_warm=dc_prev)
         cams_new = cams + dc
         pts_new = pts + dp
         cost_new = slot_cost(p, cams_new, pts_new, cfg.huber_scale)
@@ -471,15 +651,18 @@ def bundle_adjust_cg(
         rel = jnp.abs(cost - cost_new) <= cfg.rtol * jnp.maximum(cost, 1e-30)
         done = done | (accept & rel) | (lam >= 1e8)
         cost = jnp.where(accept, cost_new, cost)
-        return cams, pts, lam, cost, it + 1, done
+        # Warm-start the next solve only off an ACCEPTED step (a
+        # rejected step's direction came from an overshot lambda).
+        dc_prev = jnp.where(accept, dc, jnp.zeros_like(dc))
+        return cams, pts, lam, cost, it + 1, done, dc_prev
 
     def cond(state):
-        *_, it, done = state
+        cams, pts, lam, cost, it, done, dc_prev = state
         return (it < cfg.max_iters) & jnp.logical_not(done)
 
     init = (p.cameras, p.points,
             jnp.asarray(cfg.damping_init, p.cameras.dtype), c0,
-            jnp.asarray(0), jnp.asarray(False))
-    cams, pts, lam, cost, it, done = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(0), jnp.asarray(False), jnp.zeros_like(p.cameras))
+    cams, pts, lam, cost, it, done, _ = jax.lax.while_loop(cond, body, init)
     return BAResult(cameras=cams, points=pts, cost=cost, initial_cost=c0,
                     iterations=it)

@@ -325,7 +325,7 @@ def _cmd_sfm(args):
     if args.demo:
         from ransac_tpu.pipelines.sfm_demo import run_demo
 
-        out = run_demo(frames=args.demo, seed=args.seed)
+        out = run_demo(frames=args.demo, seed=args.seed, loop=args.loop)
         if args.out:
             import json as _json
 
@@ -708,6 +708,10 @@ def main(argv=None):
                    help="run the end-to-end multi-frame SLAM demo on F "
                         "synthetic frames (sharded frontend -> tracks -> "
                         "SfM -> CG-BA) and print the frames/s table")
+    p.add_argument("--loop", action="store_true",
+                   help="with --demo: closed-circuit trajectory + loop-"
+                        "closure detection + pose-graph optimization; "
+                        "prints ATE with/without the pose graph")
     p.add_argument("--out", default="")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_sfm)

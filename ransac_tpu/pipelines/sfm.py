@@ -274,8 +274,6 @@ def incremental_sfm(
                 zip(np.atleast_1d(state["track_ids"]), state["points"])}
             log.info("resumed from checkpoint: %d frames, %d points",
                      len(m.camera_poses), len(m.points))
-            frame_order = frame_order[:2] + [
-                f for f in frame_order[2:] if f not in m.camera_poses]
 
     def save_ckpt(step):
         if ckpt is None or not m.camera_poses:
@@ -291,16 +289,29 @@ def incremental_sfm(
         })
 
     key = jax.random.key(seed)
-    if bootstrap_stride > 1 and len(frame_order) > 2 and not m.camera_poses:
-        s = min(bootstrap_stride, len(frame_order) - 1)
-        f1b = frame_order[s]
-        frame_order = ([frame_order[0], f1b]
-                       + [f for f in frame_order[1:] if f != f1b])
-    f0, f1 = frame_order[0], frame_order[1]
-    if ckpt is not None and f0 in m.camera_poses and f1 in m.camera_poses:
-        f_boot_done = True
+    # Resume handling (ADVICE r3): a checkpoint saved right after a
+    # wide-pair bootstrap holds frames {0, stride} — re-deriving the
+    # bootstrap pair from frame_order[:2] would re-bootstrap from the
+    # narrow consecutive pair and overwrite the wide-baseline seed
+    # geometry.  Instead: bootstrap is DONE iff any two frames are
+    # already registered; registered frames move to the front of
+    # frame_order (preserving their order) so they keep serving as
+    # triangulation partners, and the stride reorder applies to every
+    # fresh bootstrap regardless of how we got here.
+    reg = [f for f in frame_order if f in m.camera_poses]
+    f_boot_done = len(reg) >= 2
+    if f_boot_done:
+        frame_order = reg + [f for f in frame_order
+                             if f not in m.camera_poses]
+        start_idx = len(reg)
     else:
-        f_boot_done = False
+        if bootstrap_stride > 1 and len(frame_order) > 2:
+            s = min(bootstrap_stride, len(frame_order) - 1)
+            f1b = frame_order[s]
+            frame_order = ([frame_order[0], f1b]
+                           + [f for f in frame_order[1:] if f != f1b])
+        start_idx = 2
+    f0, f1 = frame_order[0], frame_order[1]
 
     # ---- two-view bootstrap
     Kj = jnp.asarray(K, jnp.float32)
@@ -339,7 +350,7 @@ def incremental_sfm(
         save_ckpt(1)
 
     # ---- incremental registration
-    for step, f in enumerate(frame_order[2:], start=2):
+    for step, f in enumerate(frame_order[start_idx:], start=start_idx):
         vis = sorted(t for t in m.points if (f, t) in tracks)
         if len(vis) < 6:
             log.warning("frame %d: only %d map correspondences, skipping",
