@@ -108,11 +108,27 @@ def bench_sweep(n_hyp, iters):
             0, n_rep, body, (seed0, jnp.float32(0.0)))
         return acc
 
-    dt = _time_best(lambda k, r: run(jnp.int32(k), r), reps=3, small=1,
-                    large=1 + max(iters, 4))
+    # ONE protocol, stated once (VERDICT r3 #5): >= 3 independent chained
+    # batches; the HEADLINE is the median batch, the best rides along so
+    # README/PERF quote the same band this process prints.
+    batches = sorted(
+        n_hyp / _time_best(lambda k, r: run(jnp.int32(k), r), reps=3,
+                           small=1, large=1 + max(iters, 4))
+        for _ in range(3))
     out = step(0)
     assert float(out[1]) >= 10, "consensus not found"
-    return n_hyp / dt
+
+    # Control kernel: the measured VPU FMA peak bounds run-to-run chip /
+    # tunnel state (PERF.md quotes 5.93 TFLOP/s on a quiet host) — a low
+    # control reading marks a slow-clock / loaded-host batch.
+    try:
+        from ransac_tpu.ops.pallas.roofline import measure_vpu_fma_peak
+
+        control = measure_vpu_fma_peak(32768) / 1e12
+    except Exception:  # pragma: no cover - control is best-effort
+        control = 0.0
+    return {"median": batches[1], "best": batches[-1],
+            "batches": batches, "control_vpu_tflops": control}
 
 
 def bench_stagewise(n_hyp, iters, reps=3):
@@ -143,18 +159,26 @@ def bench_stagewise(n_hyp, iters, reps=3):
     return n_hyp / dt
 
 
-def _emit(value):
-    print(json.dumps({
+def _emit(value, extra=None):
+    rec = {
         "metric": "ransac_hypotheses_per_s_per_chip",
         "value": value,
         "unit": "hypotheses/s",
         "vs_baseline": value / 1e5,
-    }))
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
 
 
 def _run_mode(mode):
     if mode == "sweep":
-        _emit(bench_sweep(1 << 22, 20))
+        r = bench_sweep(1 << 22, 20)
+        _emit(r["median"], {
+            "best": r["best"], "batches": r["batches"],
+            "control_vpu_tflops": r["control_vpu_tflops"],
+            "protocol": "median of 3 chained batches "
+                        "(roofline._time_best, 2^22 hyp, n=13)"})
     else:
         _emit(bench_stagewise(1 << 18, 10))
 

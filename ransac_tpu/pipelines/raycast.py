@@ -154,54 +154,11 @@ def march_rays(
     return pos, hit
 
 
-@partial(jax.jit, static_argnames=(
-    "max_steps", "min_hit_step", "step", "pool", "seg_steps", "lookahead",
-    "pool2", "lookahead2"))
-def march_rays_mip(
-    origins: jnp.ndarray,      # [R,3] centered UTM
-    directions: jnp.ndarray,   # [R,3] unit
-    dem_data: jnp.ndarray, x0, y0, dx, dy,
-    max_steps: int, step: float = 1.0, min_hit_step: int = 150,
-    pool: int = 8, seg_steps: int = 32, lookahead: int = 32,
-    dem_pack: jnp.ndarray | None = None,
-    pool2: int = 0, lookahead2: int = 16,
-):
-    """Coarse-to-fine (max-mipmap) batched ray march — same semantics as
-    :func:`march_rays`, far fewer DEM samples.
 
-    A pooled-max mip of the DEM (``pool`` x ``pool`` cells, 3x3-block
-    dilated so it upper-bounds every bilinear sample whose query falls in
-    the block) lets whole ray segments be skipped with one nearest-
-    neighbor lookup: a segment [s, s+seg_steps*step] cannot contain a
-    z <= DEM crossing if min(z_start, z_end) > pooled_max(mid).  Each
-    while_loop trip per ray: scan ``lookahead`` segments coarsely (one
-    [R, lookahead] gather of the mip), jump to the first suspicious one,
-    then fine-scan its ``seg_steps`` steps exactly like march_rays.  Empty
-    sky costs lookahead+seg_steps samples per lookahead*seg_steps steps
-    instead of one bilinear sample per step.
-
-    Caller must ensure ``seg_steps * step <= pool * min(dx, dy)`` (the
-    dilation's coverage guarantee); ``GeoInverter`` computes a valid
-    ``seg_steps`` from the DEM spacing.  Positions are exact
-    ``origin + i*step*dir`` (no accumulation drift).
-
-    ``pool2 > 0`` enables a SECOND mip level (round-3, VERDICT r2
-    next-steps #8): each trip first scans ``lookahead2`` super-segments
-    of ``lookahead * seg_steps`` steps against a ``pool2``-cell dilated
-    max mip and jumps to the first suspicious one, so empty sky advances
-    up to ``lookahead2 * lookahead * seg_steps`` steps per trip.
-    Measured on v5e (tools/bench_raycast.py, chained): 9.7x over the
-    single-level march on all-sky batches (2.48 M rays/s), but ~27%
-    overhead on batches with rays inside the terrain relief band — so
-    the L2 scan self-activates (``lax.cond`` on a scalar carry) only
-    while the PREVIOUS trip found every active ray's whole level-1
-    window clear: the pure-sky regime where super-skips help, and
-    exactly zero overhead otherwise.
-    Requires ``lookahead * seg_steps * step <= pool2 * min(dx, dy)``
-    (same coverage argument, one level up); ``GeoInverter`` picks a
-    valid ``pool2`` automatically.
-    """
-    n = origins.shape[0]
+def _mip_setup(dem_data, dem_pack, x0, y0, dx, dy, pool, pool2,
+               lookahead, lookahead2, seg_steps, step):
+    """Shared setup for the coarse-to-fine march: bilinear sampler +
+    dilated pooled-max mip tables (see march_rays_mip docstring)."""
     h, w = dem_data.shape
     xmax = x0 + dx * (w - 1)
     ymax = y0 + dy * (h - 1)
@@ -228,21 +185,32 @@ def march_rays_mip(
         return dil.reshape(-1), hb, wb
 
     pooled_flat, hb, wb = build_mip(pool)
-    bx_size = pool * dx
-    by_size = pool * dy
+    l1 = (pooled_flat, hb, wb, pool * dx, pool * dy)
+    l2 = None
     if pool2 > 0:
         pooled2_flat, hb2, wb2 = build_mip(pool2)
-        b2x_size = pool2 * dx
-        b2y_size = pool2 * dy
-        ks2 = jnp.arange(lookahead2, dtype=jnp.float32)
-        seg2_len = lookahead * seg_steps * step
+        l2 = (pooled2_flat, hb2, wb2, pool2 * dx, pool2 * dy,
+              jnp.arange(lookahead2, dtype=jnp.float32),
+              lookahead * seg_steps * step)
+    return _sample, l1, l2, (x0, y0, xmax, ymax)
 
+
+def _mip_machine(origins, directions, _sample, l1, l2, geom,
+                 max_steps, step, min_hit_step, seg_steps, lookahead,
+                 lookahead2):
+    """Builds the (cond, body) pair of the coarse-to-fine march
+    while_loop for THESE rays — shared by ``march_rays_mip`` (one loop
+    over all rays) and ``march_rays_mip_compact`` (staged loops over
+    shrinking active sets).  State: (allclear, i, done, hit, istop)."""
+    n = origins.shape[0]
+    pooled_flat, hb, wb, bx_size, by_size = l1
+    x0, y0, xmax, ymax = geom
     seg_len = seg_steps * step
     ks = jnp.arange(lookahead, dtype=jnp.float32)      # segment ids
-    fs_steps = jnp.arange(seg_steps, dtype=jnp.float32)  # fine step ids
-
     ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
     dxr, dyr, dzr = directions[:, 0], directions[:, 1], directions[:, 2]
+    if l2 is not None:
+        pooled2_flat, hb2, wb2, b2x_size, b2y_size, ks2, seg2_len = l2
 
     def cond(state):
         allclear, i, done, hit, istop = state
@@ -256,7 +224,7 @@ def march_rays_mip(
             py = oy[:, None] + t * dyr[:, None]
             return ((px < x0) | (px > xmax) | (py < y0) | (py > ymax))
 
-        if pool2 > 0:
+        if l2 is not None:
             # ---- level-2 scan: lookahead2 super-segments of seg2_len,
             # active only once the fast hits have resolved (see doc).
             def l2_scan(i):
@@ -330,6 +298,64 @@ def march_rays_mip(
         done = done | any_stop | (new_i >= max_steps)
         return allclear, new_i, done, hit, istop
 
+    return cond, body
+
+
+@partial(jax.jit, static_argnames=(
+    "max_steps", "min_hit_step", "step", "pool", "seg_steps", "lookahead",
+    "pool2", "lookahead2"))
+def march_rays_mip(
+    origins: jnp.ndarray,      # [R,3] centered UTM
+    directions: jnp.ndarray,   # [R,3] unit
+    dem_data: jnp.ndarray, x0, y0, dx, dy,
+    max_steps: int, step: float = 1.0, min_hit_step: int = 150,
+    pool: int = 8, seg_steps: int = 32, lookahead: int = 32,
+    dem_pack: jnp.ndarray | None = None,
+    pool2: int = 0, lookahead2: int = 16,
+):
+    """Coarse-to-fine (max-mipmap) batched ray march — same semantics as
+    :func:`march_rays`, far fewer DEM samples.
+
+    A pooled-max mip of the DEM (``pool`` x ``pool`` cells, 3x3-block
+    dilated so it upper-bounds every bilinear sample whose query falls in
+    the block) lets whole ray segments be skipped with one nearest-
+    neighbor lookup: a segment [s, s+seg_steps*step] cannot contain a
+    z <= DEM crossing if min(z_start, z_end) > pooled_max(mid).  Each
+    while_loop trip per ray: scan ``lookahead`` segments coarsely (one
+    [R, lookahead] gather of the mip), jump to the first suspicious one,
+    then fine-scan its ``seg_steps`` steps exactly like march_rays.  Empty
+    sky costs lookahead+seg_steps samples per lookahead*seg_steps steps
+    instead of one bilinear sample per step.
+
+    Caller must ensure ``seg_steps * step <= pool * min(dx, dy)`` (the
+    dilation's coverage guarantee); ``GeoInverter`` computes a valid
+    ``seg_steps`` from the DEM spacing.  Positions are exact
+    ``origin + i*step*dir`` (no accumulation drift).
+
+    ``pool2 > 0`` enables a SECOND mip level (round-3, VERDICT r2
+    next-steps #8): each trip first scans ``lookahead2`` super-segments
+    of ``lookahead * seg_steps`` steps against a ``pool2``-cell dilated
+    max mip and jumps to the first suspicious one, so empty sky advances
+    up to ``lookahead2 * lookahead * seg_steps`` steps per trip.
+    Measured on v5e (tools/bench_raycast.py, chained): 9.7x over the
+    single-level march on all-sky batches (2.48 M rays/s), but ~27%
+    overhead on batches with rays inside the terrain relief band — so
+    the L2 scan self-activates (``lax.cond`` on a scalar carry) only
+    while the PREVIOUS trip found every active ray's whole level-1
+    window clear: the pure-sky regime where super-skips help, and
+    exactly zero overhead otherwise.
+    Requires ``lookahead * seg_steps * step <= pool2 * min(dx, dy)``
+    (same coverage argument, one level up); ``GeoInverter`` picks a
+    valid ``pool2`` automatically.
+    """
+    n = origins.shape[0]
+    _sample, l1, l2, geom = _mip_setup(
+        dem_data, dem_pack, x0, y0, dx, dy, pool, pool2, lookahead,
+        lookahead2, seg_steps, step)
+    cond, body = _mip_machine(
+        origins, directions, _sample, l1, l2, geom, max_steps, step,
+        min_hit_step, seg_steps, lookahead, lookahead2)
+
     i0 = jnp.zeros(n, jnp.int32)
     done0 = jnp.zeros(n, bool)
     hit0 = jnp.zeros(n, bool)
@@ -339,6 +365,90 @@ def march_rays_mip(
     t_stop = istop.astype(jnp.float32) * step
     pos = origins + t_stop[:, None] * directions
     return pos, hit
+
+
+@partial(jax.jit, static_argnames=(
+    "max_steps", "min_hit_step", "step", "pool", "seg_steps", "lookahead",
+    "pool2", "lookahead2", "stages"))
+def march_rays_mip_compact(
+    origins: jnp.ndarray,      # [R,3] centered UTM
+    directions: jnp.ndarray,   # [R,3] unit
+    dem_data: jnp.ndarray, x0, y0, dx, dy,
+    max_steps: int, step: float = 1.0, min_hit_step: int = 150,
+    pool: int = 8, seg_steps: int = 32, lookahead: int = 32,
+    dem_pack: jnp.ndarray | None = None,
+    pool2: int = 0, lookahead2: int = 16,
+    stages: tuple = (4, 16),
+):
+    """Active-ray-compacting coarse-to-fine march — same semantics as
+    :func:`march_rays_mip` (VERDICT r3 #7).
+
+    The lockstep march makes EVERY ray pay every while-trip until the
+    slowest ray finishes: on mixed scenes most rays hit terrain within a
+    few hundred steps while a minority (sky / grazing) churn the full
+    budget, so the batch runs at the stragglers' pace at full width.
+    This variant runs STAGED while_loops entirely on device (no host
+    round-trips — one tunnel sync would cost more than the whole march):
+    stage k exits early once the active count fits the next static
+    bucket ``R / stages[k]``; a stable argsort on ``done`` then packs
+    the active rays to the front, a static slice drops the finished
+    majority, and the next stage marches only the stragglers at 1/4,
+    1/16, ... of the original width.  Results scatter back through the
+    carried original-index array.  All-sky batches (nothing resolves
+    early) simply run stage 0 to completion — zero overhead beyond the
+    cheap final sorts of an all-done batch."""
+    n = origins.shape[0]
+    _sample, l1, l2, geom = _mip_setup(
+        dem_data, dem_pack, x0, y0, dx, dy, pool, pool2, lookahead,
+        lookahead2, seg_steps, step)
+
+    sizes = [n] + [max(-(-n // s), 1) for s in stages]
+    # Full-size accumulators (scattered into at stage boundaries).
+    hit_full = jnp.zeros(n, bool)
+    istop_full = jnp.full((n,), max_steps, jnp.int32)
+
+    orig = jnp.arange(n, dtype=jnp.int32)
+    cur_o, cur_d = origins, directions
+    cur_i = jnp.zeros(n, jnp.int32)
+    cur_done = jnp.zeros(n, bool)
+    cur_hit = jnp.zeros(n, bool)
+    cur_istop = jnp.full((n,), max_steps, jnp.int32)
+
+    for k, size in enumerate(sizes):
+        nxt = sizes[k + 1] if k + 1 < len(sizes) else 0
+        cond0, body = _mip_machine(
+            cur_o, cur_d, _sample, l1, l2, geom, max_steps, step,
+            min_hit_step, seg_steps, lookahead, lookahead2)
+
+        if nxt > 0:
+            def cond(state, _c=cond0, _nxt=nxt):
+                allclear, i, done, hit, istop = state
+                return _c(state) & (jnp.sum(~done) > _nxt)
+        else:
+            cond = cond0
+
+        _, cur_i, cur_done, cur_hit, cur_istop = jax.lax.while_loop(
+            cond, body,
+            (jnp.bool_(False), cur_i, cur_done, cur_hit, cur_istop))
+
+        # Scatter this stage's results to full size.
+        hit_full = hit_full.at[orig].set(cur_hit)
+        istop_full = istop_full.at[orig].set(cur_istop)
+        if nxt > 0:
+            # Stable sort: active rays (done=False) first.
+            order = jnp.argsort(cur_done.astype(jnp.int32),
+                                stable=True)[:nxt]
+            cur_o = cur_o[order]
+            cur_d = cur_d[order]
+            cur_i = cur_i[order]
+            cur_done = cur_done[order]
+            cur_hit = cur_hit[order]
+            cur_istop = cur_istop[order]
+            orig = orig[order]
+
+    t_stop = istop_full.astype(jnp.float32) * step
+    pos = origins + t_stop[:, None] * directions
+    return pos, hit_full
 
 
 # ------------------------------------------------------------ inverter

@@ -415,3 +415,35 @@ def test_second_mip_level_matches_single_level():
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
     assert np.asarray(h1).any() and not np.asarray(h1).all()
+
+
+def test_compact_march_matches_mip():
+    """The staged active-ray-compacting march returns bit-identical hit
+    masks and stop steps to the single-loop mip march (the compaction
+    only reorders which rays march together; every per-ray decision is
+    a pure function of the ray and its global step index)."""
+    frame = flat_frame()
+    dem = demio.synthetic_dem(
+        frame, extent_m=900, spacing_m=5.0,
+        terrain_fn=lambda X, Y: 35.0 * np.sin(X / 110.0) * np.cos(Y / 85.0)
+        + 0.01 * X)
+    rng = np.random.default_rng(13)
+    n = 128
+    origins = np.zeros((n, 3), np.float32)
+    origins[:, 2] = 220.0
+    az = rng.uniform(0, 2 * np.pi, n)
+    # mixed: downward (hit), upward (sky), near-horizontal (graze)
+    el = np.concatenate([rng.uniform(-0.9, -0.1, n // 2),
+                         rng.uniform(0.05, 0.5, n // 4),
+                         rng.uniform(-0.02, 0.02, n - n // 2 - n // 4)])
+    dirs = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)], 1).astype(np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(dirs), *dem.device_arrays())
+    kw = dict(max_steps=1500, step=1.0, min_hit_step=150, pool=8,
+              seg_steps=32, lookahead=16)
+    pos_m, hit_m = raycast.march_rays_mip(*args, **kw)
+    pos_c, hit_c = raycast.march_rays_mip_compact(*args, stages=(4, 16),
+                                                  **kw)
+    np.testing.assert_array_equal(np.asarray(hit_m), np.asarray(hit_c))
+    np.testing.assert_allclose(np.asarray(pos_m), np.asarray(pos_c),
+                               atol=1e-4)

@@ -87,6 +87,9 @@ def bench(n_rays: int = 4096, max_steps: int = 10000,
         ("march_mip_l2", dict(pool=pool, seg_steps=seg_steps,
                               lookahead=lookahead, pool2=pool2,
                               lookahead2=16)),
+        ("march_mip_l2_compact", dict(pool=pool, seg_steps=seg_steps,
+                                      lookahead=lookahead, pool2=pool2,
+                                      lookahead2=16, compact=True)),
     ):
         @functools.partial(jax.jit, static_argnames=("n_rep",))
         def run(seed0, n_rep, kw=kw):
@@ -101,10 +104,14 @@ def bench(n_rays: int = 4096, max_steps: int = 10000,
                         origins, d, *arrs, max_steps=max_steps,
                         step=1.0, min_hit_step=150, dem_pack=dem_pack)
                 else:
-                    pos, hit = raycast.march_rays_mip(
+                    kw2 = dict(kw)
+                    fn = (raycast.march_rays_mip_compact
+                          if kw2.pop("compact", False)
+                          else raycast.march_rays_mip)
+                    pos, hit = fn(
                         origins, d, *arrs, max_steps=max_steps,
                         step=1.0, min_hit_step=150, dem_pack=dem_pack,
-                        **kw)
+                        **kw2)
                 v = hit.sum().astype(jnp.float32)
                 return s + jnp.int32(1) + (v < -1).astype(jnp.int32), acc + v
             _, acc = jax.lax.fori_loop(0, n_rep, body,
@@ -119,9 +126,12 @@ def bench(n_rays: int = 4096, max_steps: int = 10000,
                 origins, dirs, *arrs, max_steps=max_steps, step=1.0,
                 min_hit_step=150, dem_pack=dem_pack)
         else:
-            pos, hit = raycast.march_rays_mip(
+            kw2 = dict(kw)
+            fn = (raycast.march_rays_mip_compact
+                  if kw2.pop("compact", False) else raycast.march_rays_mip)
+            pos, hit = fn(
                 origins, dirs, *arrs, max_steps=max_steps, step=1.0,
-                min_hit_step=150, dem_pack=dem_pack, **kw)
+                min_hit_step=150, dem_pack=dem_pack, **kw2)
         hit_frac = float(np.asarray(hit).mean())
         print(f"{name:22s} {dt * 1e3:8.3f} ms  "
               f"{n_rays / dt / 1e3:8.1f} k rays/s  hit={hit_frac:.2f}",
