@@ -32,7 +32,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ransac_tpu.ba.posegraph import PoseGraph, relative
+from ransac_tpu.ba.posegraph import PoseGraph, PoseGraphSim3, relative
 from ransac_tpu.utils.config import RansacConfig
 from ransac_tpu.utils.logging import get_logger
 
@@ -93,6 +93,8 @@ def detect_closures_appearance(xy, valid, desc, min_gap: int = 16,
 
     from ransac_tpu.features.match import mutual_nn_match
 
+    desc = jnp.asarray(desc)
+    valid = jnp.asarray(valid)
     F = int(desc.shape[0])
     cands = [(a, b) for a in range(0, F, stride)
              for b in range(a + min_gap, F, stride)]
@@ -181,65 +183,127 @@ def closure_edge(tracks: dict, m, K, fi: int, fj: int,
     R, t, X, n = epipolar.recover_pose(
         eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
     n = int(n)
-    if n < 12:
+    if n < 10:
+        log.info("closure %d-%d REJECTED: %d cheiral essential inliers",
+                 fi, fj, n)
         return None
-    # Monocular scale: median ratio of map depth (in frame i) to the
-    # two-view triangulated depth, over inlier tracks present in the map.
-    pi = m.camera_poses[fi]
-    Ri = np.asarray(exp_so3(jnp.asarray(pi[:3])))
+    # Monocular scale anchors on BOTH frames: s_i (s_j) is the median
+    # ratio of the frame-i (frame-j) MAP depth to the two-view
+    # triangulated depth over the pair's inlier tracks that exist in the
+    # map.  s_i puts the unit-baseline two-view translation into map
+    # units near i; s_j / s_i is the RELATIVE SCALE the edge observes —
+    # the accumulated monocular scale drift a Sim(3) pose graph corrects
+    # and an SE(3) one cannot (measured: ~10x around the circuit demo).
+    R_np = np.asarray(R)
+    t_np = np.asarray(t)
     X_np = np.asarray(X)
     inl = np.asarray(eres.inlier_mask)
-    ratios = []
-    for k, tr in enumerate(common):
-        if not inl[k] or tr not in m.points:
-            continue
-        z_tv = X_np[k, 2]
-        if not np.isfinite(z_tv) or z_tv <= 1e-6:
-            continue
-        z_map = (Ri @ m.points[tr] + pi[3:])[2]
-        if z_map <= 1e-6:
-            continue
-        ratios.append(z_map / z_tv)
-    if len(ratios) < 8:
+    # Track ids for frame j's side as well (appearance matches carry
+    # none): exact uv lookup.
+    if uv_pair is None:
+        common_j = common
+    else:
+        uv2tid_j = {tuple(np.asarray(uv)): tr
+                    for (f_, tr), uv in tracks.items() if f_ == fj}
+        common_j = [uv2tid_j.get(tuple(uv)) for uv in x2p]
+
+    Kn = np.asarray(K, np.float64)
+
+    def _ratios(f_anchor, tids, z_tv_fn):
+        """Depth ratios from HEALTHY anchor points only: a map point
+        must reproject within ~3 px of its track observation in the
+        anchor frame — a drifted/broken point (quasi-infinite or
+        collapsed depth) otherwise drags the median to nonsense
+        (observed: an accepted closure with scale 0.002)."""
+        pose = m.camera_poses[f_anchor]
+        Ra = np.asarray(exp_so3(jnp.asarray(pose[:3])))
+        out = []
+        for k, tr in enumerate(tids):
+            if not inl[k] or tr not in m.points:
+                continue
+            z_tv = z_tv_fn(k)
+            if not np.isfinite(z_tv) or z_tv <= 1e-6:
+                continue
+            xc = Ra @ m.points[tr] + pose[3:]
+            if xc[2] <= 1e-6:
+                continue
+            uv_pred = (Kn[:2, :2] @ (xc[:2] / xc[2])) + Kn[:2, 2]
+            uv_obs = tracks.get((f_anchor, tr))
+            if uv_obs is None or np.linalg.norm(
+                    uv_pred - np.asarray(uv_obs, np.float64)) > 3.0:
+                continue
+            out.append(xc[2] / z_tv)
+        return np.asarray(out)
+
+    ratios_i = _ratios(fi, common, lambda k: X_np[k, 2])
+    ratios_j = _ratios(fj, common_j,
+                       lambda k: (R_np @ X_np[k] + t_np)[2])
+    if len(ratios_i) < 4 or len(ratios_j) < 4:
+        log.info("closure %d-%d REJECTED: %d/%d scale anchors",
+                 fi, fj, len(ratios_i), len(ratios_j))
         return None
-    ratios = np.asarray(ratios)
-    s = float(np.median(ratios))
+    s_i = float(np.median(ratios_i))
+    s_j = float(np.median(ratios_j))
     # Consistency gate: a valid closure's depth ratios agree (one rigid
-    # scale); wildly spread or near-zero ratios mean the essential fit
-    # locked onto a wrong-correspondence consensus and the edge would
-    # poison the pose graph (observed: a "scale 0.000" edge).
-    mad = float(np.median(np.abs(ratios - s)))
-    if s < 1e-3 or mad > 0.25 * abs(s):
-        log.info("closure %d-%d REJECTED: scale %.3f, mad %.3f "
-                 "(%d ratios)", fi, fj, s, mad, len(ratios))
+    # scale per side); wildly spread or near-zero ratios mean the
+    # essential fit locked onto a wrong-correspondence consensus and the
+    # edge would poison the pose graph (observed: a "scale 0.000" edge).
+    mad_i = float(np.median(np.abs(ratios_i - s_i)))
+    mad_j = float(np.median(np.abs(ratios_j - s_j)))
+    # No spread gate: the anchor spread is dominated by the MAP's own
+    # internal scale drift (points near a frame were triangulated at
+    # different drifted epochs) — the medians are already robust, and
+    # with several-x accumulated drift even a +-50%-noisy scale edge is
+    # ~6:1 signal in log-scale.  Only outright-degenerate scales
+    # reject.
+    rel = s_j / max(s_i, 1e-12)
+    if not (1e-3 < s_i < 1e3 and 1e-3 < s_j < 1e3 and 0.1 < rel < 10.0):
+        # The relative-scale bound is physical: accumulated monocular
+        # drift between revisits stays within ~an order of magnitude,
+        # while a collapsed-depth anchor set produces 100x ratios that
+        # wreck the Sim(3) graph (observed: an s_j = 0.001 edge pushing
+        # node scales to 0.008..28.8 and the PGO cost to 1e5).
+        log.info("closure %d-%d REJECTED: scales %.3f/%.3f rel %.3f "
+                 "(%d/%d ratios)", fi, fj, s_i, s_j, rel,
+                 len(ratios_i), len(ratios_j))
         return None
-    z6 = np.concatenate([np.asarray(log_so3(R), np.float64),
-                         s * np.asarray(t, np.float64)])
-    log.info("closure %d-%d: %d/%d essential inliers, scale %.3f "
-             "(mad %.3f, %d ratios)", fi, fj, n, len(common), s, mad,
-             len(ratios))
-    return z6, n
+    # Sim(3) edge j <- i: x_map_j = (s_j/s_i) R x_map_i + s_j t_unit.
+    z7 = np.concatenate([np.asarray(log_so3(R), np.float64),
+                         s_j * t_np.astype(np.float64),
+                         [np.log(s_j / s_i)]])
+    log.info("closure %d-%d: %d/%d essential inliers, scales "
+             "%.3f/%.3f (rel %.3f)", fi, fj, n, len(common), s_i, s_j,
+             s_j / s_i)
+    return z7, n
 
 
 def build_pose_graph(m, tracks: dict, K,
                      closure_pairs: list[tuple[int, int]],
                      ransac_cfg: RansacConfig | None = None,
                      loop_weight: float = 2.0, seed: int = 17):
-    """PoseGraph over the registered frames: odometry edges between
-    consecutive registered frames (Z measured from the incremental SfM
-    estimates) + measured loop-closure edges.  Returns ``(graph,
-    frame_list, n_loop_edges)``."""
+    """Sim(3) pose graph over the registered frames: odometry edges
+    between consecutive registered frames (relative similarity measured
+    from the incremental SfM estimates, scale 1 — locally consistent,
+    globally drifted) + measured Sim(3) loop-closure edges carrying the
+    observed relative scale.  Returns ``(graph, frame_list,
+    n_loop_edges)``."""
     frames = sorted(m.camera_poses)
     fidx = {f: k for k, f in enumerate(frames)}
-    poses = jnp.asarray(np.stack([m.camera_poses[f] for f in frames]),
-                        jnp.float32)
-    ei, ej, ez, ew = [], [], [], []
+    poses6 = np.stack([m.camera_poses[f] for f in frames])
+    poses7 = jnp.asarray(
+        np.concatenate([poses6, np.zeros((len(frames), 1))], axis=1),
+        jnp.float32)
+    ei, ej, ez, ew, esw = [], [], [], [], []
     for a, b in zip(frames[:-1], frames[1:]):
-        z = relative(poses[fidx[a]], poses[fidx[b]])
+        z = relative(jnp.asarray(poses6[fidx[a]], jnp.float32),
+                     jnp.asarray(poses6[fidx[b]], jnp.float32))
         ei.append(fidx[a])
         ej.append(fidx[b])
-        ez.append(np.asarray(z))
+        ez.append(np.concatenate([np.asarray(z, np.float64), [0.0]]))
         ew.append(1.0)
+        # Odometry observes no relative scale (the monocular
+        # unobservable); only loop closures carry a measured scale.
+        esw.append(0.0)
     n_loop = 0
     for pair in closure_pairs:
         fi, fj = pair[0], pair[1]
@@ -250,18 +314,20 @@ def build_pose_graph(m, tracks: dict, K,
                            seed=seed + n_loop, uv_pair=uv_pair)
         if out is None:
             continue
-        z6, _n = out
+        z7, _n = out
         ei.append(fidx[fi])
         ej.append(fidx[fj])
-        ez.append(z6)
+        ez.append(z7)
         ew.append(loop_weight)
+        esw.append(1.0)
         n_loop += 1
-    g = PoseGraph(
-        poses=poses,
+    g = PoseGraphSim3(
+        poses=poses7,
         edge_i=jnp.asarray(np.array(ei, np.int32)),
         edge_j=jnp.asarray(np.array(ej, np.int32)),
         edge_z=jnp.asarray(np.stack(ez).astype(np.float32)),
-        edge_w=jnp.asarray(np.array(ew, np.float32)))
+        edge_w=jnp.asarray(np.array(ew, np.float32)),
+        edge_sw=jnp.asarray(np.array(esw, np.float32)))
     return g, frames, n_loop
 
 
@@ -278,7 +344,8 @@ def apply_pose_graph(m, tracks: dict, K,
     detection (descriptor matching of far frame pairs) in addition to
     track covisibility — required whenever the tracker only matches
     consecutive frames, since no track id survives a full revisit."""
-    from ransac_tpu.ba.posegraph import optimize_pose_graph
+    from ransac_tpu.ba.posegraph import (optimize_pose_graph_sim3,
+                                         sim3_to_se3)
 
     frames = sorted(m.camera_poses)
     pairs: list = loop_closure_pairs(tracks, frames, min_gap=min_gap,
@@ -298,11 +365,13 @@ def apply_pose_graph(m, tracks: dict, K,
         m, tracks, K, pairs, ransac_cfg, seed=seed)
     if n_loop == 0:
         return 0
-    poses_new, cost, iters = optimize_pose_graph(g)
-    log.info("pose graph: %d nodes, %d edges (%d loop), cost %.4g "
-             "(%d iters)", len(frame_list), int(g.edge_i.shape[0]),
-             n_loop, float(cost), int(iters))
-    poses_np = np.asarray(poses_new, np.float64)
+    poses_new, cost, iters = optimize_pose_graph_sim3(g)
+    scales = np.exp(np.asarray(poses_new[:, 6], np.float64))
+    log.info("pose graph (sim3): %d nodes, %d edges (%d loop), cost "
+             "%.4g (%d iters); node scales %.3f..%.3f", len(frame_list),
+             int(g.edge_i.shape[0]), n_loop, float(cost), int(iters),
+             float(scales.min()), float(scales.max()))
+    poses_np = np.asarray(sim3_to_se3(poses_new), np.float64)
     for k, f in enumerate(frame_list):
         m.camera_poses[f] = poses_np[k]
     return n_loop

@@ -142,6 +142,12 @@ def _triangulate_pair_gated(m, tracks, g1, g2, track_list, Kj, gate_n,
     return out
 
 
+def _cam_center(pose6: np.ndarray) -> np.ndarray:
+    """Camera center -R^T t of a (rvec, tvec) world->camera pose."""
+    R = np.asarray(exp_so3(jnp.asarray(pose6[:3])))
+    return -R.T @ np.asarray(pose6[3:6])
+
+
 def _mean_reproj_error(m, tracks, t, X, frames_of_t):
     """Mean pixel reprojection error of candidate point X over the
     track's registered observations (host-side, small)."""
@@ -158,7 +164,7 @@ def _mean_reproj_error(m, tracks, t, X, frames_of_t):
     return float(np.mean(errs)) if errs else np.inf
 
 
-def _retriangulate_widest(m, tracks, gate_n):
+def _retriangulate_widest(m, tracks, gate_n, rebuild: bool = False):
     """Re-solve map points from their WIDEST pair of registered
     observations (run after each BA), accepting a candidate ONLY if it
     lowers the point's mean reprojection error over ALL its registered
@@ -166,23 +172,48 @@ def _retriangulate_widest(m, tracks, gate_n):
     quasi-arbitrary depth that a 2-view gate cannot detect, and the
     widest pair fixes them — but blindly overwriting healthy BA-refined
     points with a 2-view solve from drifted poses makes the map WORSE
-    (measured on the SLAM demo), so the update must be monotone."""
+    (measured on the SLAM demo), so the update must be monotone.
+
+    ``rebuild=True`` (after a pose-graph correction): the old points
+    live in the PRE-correction drifted frame and are all invalid — the
+    map is cleared and EVERY track with >= 2 registered observations is
+    re-triangulated unconditionally (gates still apply; no monotone
+    check against stale points)."""
     frames_reg = sorted(m.camera_poses)
     fset = set(frames_reg)
+    if rebuild:
+        m.points.clear()
     obs_by_track: dict = {}
     for (g, t), _ in tracks.items():
-        if t in m.points and g in fset:
+        if (rebuild or t in m.points) and g in fset:
             obs_by_track.setdefault(t, []).append(g)
+    # "Widest" = the observation pair with the LARGEST ESTIMATED
+    # BASELINE (camera-center distance), not the widest frame-index
+    # span — on loop trajectories the index-extreme frames can be
+    # spatially coincident (see the partner-selection note in
+    # incremental_sfm).
+    centers = {g: _cam_center(m.camera_poses[g]) for g in frames_reg}
     by_pair: dict = {}
     for t, gs in obs_by_track.items():
-        g1, g2 = min(gs), max(gs)
-        if g2 > g1:
-            by_pair.setdefault((g1, g2), []).append(t)
+        if len(gs) < 2:
+            continue
+        gs_s = sorted(set(gs))
+        C = np.stack([centers[g] for g in gs_s])
+        d2 = np.sum((C[:, None] - C[None, :]) ** 2, -1)
+        i1, i2 = np.unravel_index(int(np.argmax(d2)), d2.shape)
+        if d2[i1, i2] <= 0:
+            continue
+        g1, g2 = sorted((gs_s[i1], gs_s[i2]))
+        by_pair.setdefault((g1, g2), []).append(t)
     Kj = jnp.asarray(m.K, jnp.float32)
     n_acc = 0
     for (g1, g2), tl in by_pair.items():
         for tr, X in _triangulate_pair_gated(
                 m, tracks, g1, g2, sorted(tl), Kj, gate_n).items():
+            if rebuild or tr not in m.points:
+                m.points[tr] = X
+                n_acc += 1
+                continue
             gs = obs_by_track[tr]
             if (_mean_reproj_error(m, tracks, tr, X, gs)
                     < _mean_reproj_error(m, tracks, tr, m.points[tr], gs)):
@@ -306,7 +337,30 @@ def incremental_sfm(
         start_idx = len(reg)
     else:
         if bootstrap_stride > 1 and len(frame_order) > 2:
-            s = min(bootstrap_stride, len(frame_order) - 1)
+            # ADAPTIVE stride (round 4): the widest pair is only usable
+            # if enough tracks SURVIVE it — on trajectories with
+            # rotating motion direction, track survival over the
+            # requested stride can collapse (measured: 10 common tracks
+            # at stride 8 on the circuit demo vs 31 on the line), and a
+            # ~10-point seed map starves every later registration.
+            # Take the largest stride whose pair shares >= 16 tracks
+            # (falling back to the most-shared pair if none does).
+            t0_set = {t for g, t in tracks if g == frame_order[0]}
+            best_s, best_common = 1, -1
+            for s in range(min(bootstrap_stride,
+                               len(frame_order) - 1), 0, -1):
+                fs = frame_order[s]
+                n_common = sum(1 for t in t0_set if (fs, t) in tracks)
+                if n_common >= 16:
+                    best_s, best_common = s, n_common
+                    break
+                if n_common > best_common:
+                    best_s, best_common = s, n_common
+            s = best_s
+            if s != bootstrap_stride:
+                log.info("bootstrap stride adapted %d -> %d "
+                         "(%d common tracks)", bootstrap_stride, s,
+                         best_common)
             f1b = frame_order[s]
             frame_order = ([frame_order[0], f1b]
                            + [f for f in frame_order[1:] if f != f1b])
@@ -350,60 +404,109 @@ def incremental_sfm(
         save_ckpt(1)
 
     # ---- incremental registration
-    for step, f in enumerate(frame_order[start_idx:], start=start_idx):
+    tracks_by_frame: dict = {}
+    frames_by_track: dict = {}
+    for (g_, t_) in tracks:
+        tracks_by_frame.setdefault(g_, set()).add(t_)
+        frames_by_track.setdefault(t_, []).append(g_)
+    gate_n = 2.0 * ransac_cfg.threshold / float(K[0, 0])
+    key_box = [key]
+
+    def register_frame(f) -> bool:
+        """PnP-register frame f against the current map, then
+        triangulate its new tracks.  Returns False (frame left
+        unregistered) when too few map correspondences exist YET — the
+        retry pass revisits it once the map has grown."""
         vis = sorted(t for t in m.points if (f, t) in tracks)
         if len(vis) < 6:
-            log.warning("frame %d: only %d map correspondences, skipping",
-                        f, len(vis))
-            continue
+            log.warning("frame %d: only %d map correspondences, "
+                        "deferring", f, len(vis))
+            return False
         nb = _bucket(len(vis))
         Xw = _pad_rows(np.stack([m.points[t] for t in vis]), nb)
         uv = _pad_rows(np.stack([tracks[(f, t)] for t in vis]), nb)
         w_vis = jnp.asarray(_pad_rows(np.ones(len(vis), np.float32), nb))
-        key, k2 = jax.random.split(key)
+        key_box[0], k2 = jax.random.split(key_box[0])
         pnp_fn = (ransac_mod.ransac_pnp_sweep
                   if engine == "sweep" and nb <= 512
                   else ransac_mod.ransac_pnp)
         res = pnp_fn(
             jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
             Kj, w_vis, ransac_cfg, k2,)
-        Rf, tf = ransac_mod.pnp_pose_from_result(res)
+        Rf, tvecf = ransac_mod.pnp_pose_from_result(res)
         m.camera_poses[f] = np.concatenate(
             [np.asarray(log_so3(Rf), np.float64),
-             np.asarray(tf, np.float64)])
+             np.asarray(tvecf, np.float64)])
         log.info("frame %d registered: %d/%d PnP inliers", f,
                  int(res.num_inliers), len(vis))
 
-        # ---- triangulate new tracks — prefer an OLDER registered
-        # partner: adjacent-frame baselines can sit below the pixel
-        # noise, and a 2-view triangulation fits both views exactly
-        # regardless of depth, so the reprojection gate cannot catch the
-        # resulting quasi-infinite points (the scale-drift mechanism the
-        # bootstrap_stride note describes).  Short tracks that cannot
-        # reach a wide partner still enter via the nearest frame and are
-        # repaired by the widest-pair retriangulation after each BA.
-        gate_n = 2.0 * ransac_cfg.threshold / float(K[0, 0])
-        regd = [g for g in frame_order[:step] if g in m.camera_poses]
-        wide = [g for g in regd if abs(f - g) >= bootstrap_stride]
-        partners = ([min(wide, key=lambda g: abs(f - g))] if wide else [])
-        if not partners or partners[0] != regd[-1]:
-            partners.append(regd[-1])
-        for prev in partners:
-            new_tracks = sorted(
-                t for t in {t for g, t in tracks if g == f}
-                if t not in m.points and (prev, t) in tracks)
+        # ---- triangulate new tracks from EACH TRACK'S OWN widest-
+        # baseline pair of registered observations (the same principle
+        # as the post-BA widest-pair retriangulation).  Adjacent-frame
+        # baselines can sit below the pixel noise — a 2-view
+        # triangulation fits both views exactly regardless of depth, so
+        # the reprojection gate cannot catch the resulting
+        # quasi-infinite points — and "wide" must be measured in
+        # ESTIMATED CAMERA-CENTER DISTANCE, not frame-index distance
+        # (on loop trajectories the index-far frame is spatially close
+        # again; the round-3 single-partner index heuristic collapsed
+        # the circuit reconstruction to step-scale ratios of ~1e-3).
+        # The triangulation angle gate remains the real filter.
+        reg_set = set(m.camera_poses)
+        centers = {g: _cam_center(m.camera_poses[g]) for g in reg_set}
+        by_pair: dict = {}
+        for t in tracks_by_frame.get(f, set()):
+            if t in m.points:
+                continue
+            gs = sorted(g for g in frames_by_track.get(t, ())
+                        if g in reg_set)
+            if len(gs) < 2:
+                continue
+            C = np.stack([centers[g] for g in gs])
+            d2 = np.sum((C[:, None] - C[None, :]) ** 2, -1)
+            i1, i2 = np.unravel_index(int(np.argmax(d2)), d2.shape)
+            if d2[i1, i2] <= 0:
+                continue
+            by_pair.setdefault(tuple(sorted((gs[i1], gs[i2]))),
+                               []).append(t)
+        for (g1, g2), tl in by_pair.items():
             for tr, X in _triangulate_pair_gated(
-                    m, tracks, prev, f, new_tracks, Kj, gate_n).items():
+                    m, tracks, g1, g2, sorted(tl), Kj, gate_n).items():
                 m.points[tr] = X
+        return True
 
-        # ---- periodic global BA + widest-pair retriangulation
-        if step % ba_every == 0:
-            p, frames, track_ids = m.as_ba_problem(tracks)
-            res_ba = bundle_adjust(p, ba_cfg)
-            m.apply_ba(res_ba, frames, track_ids)
-            log.info("BA after frame %d: cost %.4g -> %.4g (%d iters)",
-                     f, float(res_ba.initial_cost), float(res_ba.cost),
-                     int(res_ba.iterations))
-            _retriangulate_widest(m, tracks, gate_n)
-            save_ckpt(step)
+    def run_ba(after_f):
+        p, frames, track_ids = m.as_ba_problem(tracks)
+        res_ba = bundle_adjust(p, ba_cfg)
+        m.apply_ba(res_ba, frames, track_ids)
+        log.info("BA after frame %d: cost %.4g -> %.4g (%d iters)",
+                 after_f, float(res_ba.initial_cost), float(res_ba.cost),
+                 int(res_ba.iterations))
+        _retriangulate_widest(m, tracks, gate_n)
+
+    # Main pass + retry passes: a frame deferred for lack of map
+    # correspondences often becomes registrable once later frames have
+    # grown the map (before retries, one thin frame could cascade into
+    # an unregistered tail — observed on the circuit demo).
+    pending = [f for f in frame_order[start_idx:]
+               if f not in m.camera_poses]
+    n_done = 0
+    for pass_i in range(3):
+        if not pending:
+            break
+        if pass_i:
+            log.info("retry pass %d over %d deferred frames", pass_i,
+                     len(pending))
+        still = []
+        for f in pending:
+            if register_frame(f):
+                n_done += 1
+                if n_done % ba_every == 0:
+                    run_ba(f)
+                    save_ckpt(n_done)
+            else:
+                still.append(f)
+        if len(still) == len(pending):
+            break  # no progress: a further pass cannot help
+        pending = still
     return m

@@ -128,3 +128,73 @@ def test_distributed_pose_graph_edge_sharded():
     ate8 = _ate(np.asarray(p8), gt)
     assert ate8 < 0.35 * ate0, (ate0, ate8)
     assert float(c8) < 1e-3
+
+
+def test_sim3_pose_graph_repairs_scale_drift():
+    """Monocular scale drift (each odometry step's translation inflated
+    by a compounding factor) is inexpressible in SE(3) but repaired by
+    the Sim(3) pose graph with scale-carrying loop closures."""
+    from ransac_tpu.ba.posegraph import (PoseGraphSim3,
+                                         optimize_pose_graph_sim3,
+                                         relative, relative_sim3,
+                                         sim3_to_se3)
+
+    gt = _circle_poses(24)
+    V = gt.shape[0]
+    # Integrate odometry whose translation magnitude drifts by 3%/step:
+    # the classic monocular failure (total drift ~2x around the loop).
+    from ransac_tpu.ba.posegraph import compose
+    drifted = [gt[0].copy()]
+    for k in range(1, V):
+        z = np.asarray(relative(jnp.asarray(gt[k - 1]),
+                                jnp.asarray(gt[k])))
+        z = z.copy()
+        z[3:] *= 1.03 ** k
+        drifted.append(np.asarray(compose(jnp.asarray(z),
+                                          jnp.asarray(drifted[-1]))))
+    drifted = np.stack(drifted)
+    ate0 = _ate(drifted, gt)
+
+    # Odometry edges from the drifted chain (scale 1 — locally
+    # consistent); loop closures measured from ground truth INCLUDING
+    # the relative scale the drifted chain implies at the two ends.
+    p7 = np.concatenate([drifted, np.zeros((V, 1))], 1)
+    ei, ej, ez, ew = [], [], [], []
+    for k in range(V - 1):
+        z = np.asarray(relative_sim3(jnp.asarray(p7[k], jnp.float32),
+                                     jnp.asarray(p7[k + 1], jnp.float32)))
+        ei.append(k)
+        ej.append(k + 1)
+        ez.append(z)
+        ew.append(1.0)
+    # Loop closures in the PIPELINE convention (closure_edge): rotation
+    # and translation DIRECTION are drift-free (two-view essential), the
+    # translation magnitude is expressed in MAP units near frame j
+    # (s_j * unit baseline), and the scale row carries log(s_j / s_i)
+    # measured from the map anchors.  Local scale here: s_k = 1.03^k.
+    gt7 = np.concatenate([gt, np.zeros((V, 1))], 1)
+    for (a, b) in ((0, V - 1), (1, V - 2), (2, V // 2)):
+        z = np.asarray(relative_sim3(jnp.asarray(gt7[a], jnp.float32),
+                                     jnp.asarray(gt7[b], jnp.float32)),
+                       np.float64)
+        s_a, s_b = 1.03 ** a, 1.03 ** b
+        z[3:6] *= s_b
+        z[6] = np.log(s_b / s_a)
+        ei.append(a)
+        ej.append(b)
+        ez.append(z)
+        ew.append(2.0)
+    # Odometry edges do not observe relative scale (edge_sw=0); loop
+    # closures do (edge_sw=1).
+    sw = np.array([0.0] * (V - 1) + [1.0] * 3, np.float32)
+    g = PoseGraphSim3(
+        poses=jnp.asarray(p7, jnp.float32),
+        edge_i=jnp.asarray(np.array(ei, np.int32)),
+        edge_j=jnp.asarray(np.array(ej, np.int32)),
+        edge_z=jnp.asarray(np.stack(ez).astype(np.float32)),
+        edge_w=jnp.asarray(np.array(ew, np.float32)),
+        edge_sw=jnp.asarray(sw))
+    poses7, cost, iters = optimize_pose_graph_sim3(g, max_iters=60)
+    fixed = np.asarray(sim3_to_se3(poses7), np.float64)
+    ate1 = _ate(fixed, gt)
+    assert ate1 < 0.5 * ate0, (ate0, ate1)
