@@ -215,8 +215,10 @@ def closure_edge(tracks: dict, m, K, fi: int, fj: int,
         anchor frame — a drifted/broken point (quasi-infinite or
         collapsed depth) otherwise drags the median to nonsense
         (observed: an accepted closure with scale 0.002)."""
+        from ransac_tpu.pipelines.sfm import _np_rodrigues
+
         pose = m.camera_poses[f_anchor]
-        Ra = np.asarray(exp_so3(jnp.asarray(pose[:3])))
+        Ra = _np_rodrigues(pose[:3])
         out = []
         for k, tr in enumerate(tids):
             if not inl[k] or tr not in m.points:

@@ -89,6 +89,83 @@ class SfmMap:
             self.points[t] = pts[i]
 
 
+# --------------------------------------------------------------------
+# Jitted dispatch wrappers: the RANSAC/geometry WRAPPERS (winner
+# re-solve, inlier refit, LM polish) are plain functions whose dozens of
+# intermediate ops dispatch EAGERLY when called from host orchestration
+# code — ~free on CPU, but through an accelerator tunnel every eager op
+# is a host round-trip (measured: ~26 s per registered frame on the TPU
+# demo, ~50x the actual device work).  One jit per pipeline call keeps
+# the whole step on device.
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "use_sweep"))
+def _pnp_dispatch(Xw, uv, K, w, key, cfg, use_sweep):
+    """Returns ONE packed [13] vector (model 12 + inlier count): the
+    registration loop needs both, and each separate device->host fetch
+    is a tunnel round-trip."""
+    fn = (ransac_mod.ransac_pnp_sweep if use_sweep
+          else ransac_mod.ransac_pnp)
+    res = fn(Xw, uv, K, w, cfg, key)
+    return jnp.concatenate(
+        [res.model, res.num_inliers[None].astype(res.model.dtype)])
+
+
+@_partial(jax.jit, static_argnames=("cfg", "use_sweep"))
+def _essential_dispatch(x1, x2, w, cfg, key, use_sweep):
+    fn = (ransac_mod.ransac_essential_sweep if use_sweep
+          else ransac_mod.ransac_essential)
+    res = fn(x1, x2, w, cfg, key)
+    R, t, X, n = epipolar.recover_pose(
+        res.model, x1, x2, res.inlier_mask.astype(jnp.float32))
+    return res.inlier_mask, R, t, X, n
+
+
+_tri_dlt_jit = jax.jit(epipolar.triangulate_dlt)
+
+
+def _np_rodrigues(rvec: np.ndarray) -> np.ndarray:
+    """Pure-numpy Rodrigues rotation (mirrors ops.rotation.exp_so3).
+
+    Host-side orchestration code calls this per registered frame per
+    registration step; the jax version dispatched EAGERLY through the
+    accelerator tunnel costs ~seconds per op there (measured: 7-15 s
+    per registered frame on the TPU demo, all of it host<->device
+    chatter for 3x3 rotations)."""
+    r = np.asarray(rvec, np.float64)
+    th = float(np.linalg.norm(r))
+    if th < 1e-12:
+        return np.eye(3)
+    k = r / th
+    Kx = np.array([[0.0, -k[2], k[1]],
+                   [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]])
+    return np.eye(3) + np.sin(th) * Kx + (1.0 - np.cos(th)) * (Kx @ Kx)
+
+
+def _np_log_so3(R: np.ndarray) -> np.ndarray:
+    """Pure-numpy rotation log (mirrors ops.rotation.log_so3) — same
+    eager-dispatch rationale as _np_rodrigues."""
+    R = np.asarray(R, np.float64)
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = float(np.arccos(cos))
+    if th < 1e-8:
+        return 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                               R[1, 0] - R[0, 1]])
+    if th > np.pi - 1e-6:
+        # Near pi: axis from the symmetric part.
+        A = (R + np.eye(3)) / 2.0
+        k = np.sqrt(np.maximum(np.diagonal(A), 0.0))
+        i = int(np.argmax(k))
+        axis = A[:, i] / max(k[i], 1e-12)
+        axis = axis / max(np.linalg.norm(axis), 1e-12)
+        return th * axis
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                  R[1, 0] - R[0, 1]]) / (2.0 * np.sin(th))
+    return th * w
+
+
 def _triangulate_pair_gated(m, tracks, g1, g2, track_list, Kj, gate_n,
                             min_angle_deg: float = 1.0):
     """Batched 2-view DLT of ``track_list`` between registered frames
@@ -110,16 +187,16 @@ def _triangulate_pair_gated(m, tracks, g1, g2, track_list, Kj, gate_n,
         jnp.float32), Kj)
     pose1 = m.camera_poses[g1]
     pose2 = m.camera_poses[g2]
-    Xn = np.asarray(epipolar.triangulate_dlt(
+    R1 = _np_rodrigues(pose1[:3])
+    R2 = _np_rodrigues(pose2[:3])
+    Xn = np.asarray(_tri_dlt_jit(
         x1, x2,
-        exp_so3(jnp.asarray(pose1[:3], jnp.float32)),
+        jnp.asarray(R1, jnp.float32),
         jnp.asarray(pose1[3:], jnp.float32),
-        exp_so3(jnp.asarray(pose2[:3], jnp.float32)),
+        jnp.asarray(R2, jnp.float32),
         jnp.asarray(pose2[3:], jnp.float32)), np.float64)
     x1_n = np.asarray(x1, np.float64)
     x2_n = np.asarray(x2, np.float64)
-    R1 = np.asarray(exp_so3(jnp.asarray(pose1[:3], jnp.float32)))
-    R2 = np.asarray(exp_so3(jnp.asarray(pose2[:3], jnp.float32)))
     C1 = -R1.T @ pose1[3:]
     C2 = -R2.T @ pose2[3:]
     cos_min = np.cos(np.deg2rad(min_angle_deg))
@@ -143,8 +220,9 @@ def _triangulate_pair_gated(m, tracks, g1, g2, track_list, Kj, gate_n,
 
 
 def _cam_center(pose6: np.ndarray) -> np.ndarray:
-    """Camera center -R^T t of a (rvec, tvec) world->camera pose."""
-    R = np.asarray(exp_so3(jnp.asarray(pose6[:3])))
+    """Camera center -R^T t of a (rvec, tvec) world->camera pose
+    (pure numpy — called O(registered frames) per registration)."""
+    R = _np_rodrigues(pose6[:3])
     return -R.T @ np.asarray(pose6[3:6])
 
 
@@ -155,7 +233,7 @@ def _mean_reproj_error(m, tracks, t, X, frames_of_t):
     errs = []
     for g in frames_of_t:
         pose = m.camera_poses[g]
-        Rv = np.asarray(exp_so3(jnp.asarray(pose[:3], jnp.float32)))
+        Rv = _np_rodrigues(pose[:3])
         xc = Rv @ X + pose[3:]
         if xc[2] <= 1e-9:
             return np.inf
@@ -237,8 +315,7 @@ def prune_observations(p: BAProblem, max_px: float) -> tuple[BAProblem, int]:
     op = np.asarray(p.obs_pt)
     uv = np.asarray(p.obs_uv, np.float64)
     w = np.asarray(p.obs_w, np.float64)
-    R = np.stack([np.asarray(exp_so3(jnp.asarray(c[:3], jnp.float32)))
-                  for c in cams])
+    R = np.stack([_np_rodrigues(c[:3]) for c in cams])
     xc = np.einsum("oij,oj->oi", R[oc], pts[op]) + cams[oc, 3:]
     z = np.where(np.abs(xc[:, 2]) < 1e-12, 1e-12, xc[:, 2])
     proj_uv = (K[:2, :2] @ (xc[:, :2] / z[:, None]).T).T + K[:2, 2]
@@ -383,20 +460,16 @@ def incremental_sfm(
             num_hypotheses=ransac_cfg.num_hypotheses, exhaustive=False,
             selection=ransac_cfg.selection)
         key, k1 = jax.random.split(key)
-        if engine == "sweep" and nb <= 1024:
-            eres = ransac_mod.ransac_essential_sweep(
-                x1, x2, wts, e_cfg, k1)
-        else:
-            eres = ransac_mod.ransac_essential(
-                x1, x2, wts, e_cfg, k1)
-        R, t, X, n = epipolar.recover_pose(
-            eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
-        inl = np.asarray(eres.inlier_mask)
+        inl_mask, R, t, X, n = _essential_dispatch(
+            x1, x2, wts, e_cfg, k1,
+            engine == "sweep" and nb <= 1024)
+        inl = np.asarray(inl_mask)
         log.info("bootstrap %d-%d: %d/%d essential inliers, %d cheiral",
                  f0, f1, inl.sum(), len(common), int(n))
         m.camera_poses[f0] = np.zeros(6)
         m.camera_poses[f1] = np.concatenate(
-            [np.asarray(log_so3(R), np.float64), np.asarray(t, np.float64)])
+            [_np_log_so3(np.asarray(R, np.float64)),
+             np.asarray(t, np.float64)])
         X = np.asarray(X, np.float64)
         for i, tr in enumerate(common):
             if inl[i] and X[i, 2] > 0:
@@ -427,18 +500,14 @@ def incremental_sfm(
         uv = _pad_rows(np.stack([tracks[(f, t)] for t in vis]), nb)
         w_vis = jnp.asarray(_pad_rows(np.ones(len(vis), np.float32), nb))
         key_box[0], k2 = jax.random.split(key_box[0])
-        pnp_fn = (ransac_mod.ransac_pnp_sweep
-                  if engine == "sweep" and nb <= 512
-                  else ransac_mod.ransac_pnp)
-        res = pnp_fn(
+        use_sweep = engine == "sweep" and nb <= 512
+        packed = np.asarray(_pnp_dispatch(
             jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
-            Kj, w_vis, ransac_cfg, k2,)
-        Rf, tvecf = ransac_mod.pnp_pose_from_result(res)
+            Kj, w_vis, k2, ransac_cfg, use_sweep), np.float64)
         m.camera_poses[f] = np.concatenate(
-            [np.asarray(log_so3(Rf), np.float64),
-             np.asarray(tvecf, np.float64)])
+            [_np_log_so3(packed[:9].reshape(3, 3)), packed[9:12]])
         log.info("frame %d registered: %d/%d PnP inliers", f,
-                 int(res.num_inliers), len(vis))
+                 int(packed[12]), len(vis))
 
         # ---- triangulate new tracks from EACH TRACK'S OWN widest-
         # baseline pair of registered observations (the same principle

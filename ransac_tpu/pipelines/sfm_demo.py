@@ -134,13 +134,12 @@ def _umeyama_ate(est: np.ndarray, gt: np.ndarray) -> float:
 
 
 def _cam_centers(poses: dict) -> np.ndarray:
-    from ransac_tpu.ops.rotation import exp_so3
+    from ransac_tpu.pipelines.sfm import _np_rodrigues
 
     out = []
     for f in sorted(poses):
         rvec, tvec = poses[f][:3], poses[f][3:]
-        R = np.asarray(exp_so3(jnp.asarray(rvec)))
-        out.append(-R.T @ tvec)
+        out.append(-_np_rodrigues(rvec).T @ tvec)
     return np.stack(out)
 
 
