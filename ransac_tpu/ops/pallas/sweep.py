@@ -49,6 +49,15 @@ BLOCK_H = 4096
 SUB = 8
 LAN = BLOCK_H // SUB
 MAX_POINTS = 16
+# Independent (count, msac) accumulator pairs in the score loop, summed
+# at the end.  Round-5 finding: with ONE pair the loop is LATENCY-bound
+# on the serial accumulate dependency chains, not issue-bound — the
+# round-4 kernel ran at "44% issue" because each point's count/msac add
+# had to wait for the previous point's.  4 independent pairs measured
+# 2.2x on the n=13 flagship shape (0.67 -> 0.31 ms per 2^22, quiet
+# host); 8 pairs at LAN=512 regress (register pressure), see
+# tools/exp_small3.py.
+N_ACC = 4
 
 def _fmix(x):
     """murmur3 32-bit finalizer: bijective avalanche mixer (counter PRNG)."""
@@ -160,8 +169,13 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool):
         # degenerate w (w^2 floored at 1e-30) min(r2, t) = t, so the
         # contribution is exactly thr^2 — the correct outlier penalty —
         # and never NaN.
-        count = jnp.zeros((SUB, LAN), jnp.float32)
-        msac = jnp.zeros((SUB, LAN), jnp.float32)
+        # N_ACC independent accumulator pairs break the serial
+        # accumulate chain (see constant above); count sums are exact
+        # (integer-valued f32), msac sums reassociate within f32 noise.
+        counts = [jnp.zeros((SUB, LAN), jnp.float32)
+                  for _ in range(N_ACC)]
+        msacs = [jnp.zeros((SUB, LAN), jnp.float32)
+                 for _ in range(N_ACC)]
         for n in range(n_score):
             x = src_ref[n, 0]
             y = src_ref[n, 1]
@@ -177,8 +191,14 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool):
             w2 = jnp.maximum(w * w, jnp.float32(1e-30))
             t = thr_sq * w2
             iw2 = pl.reciprocal(w2, approx=True)
-            count = count + jnp.where(r2 <= t, w_pt, 0.0)
-            msac = msac + jnp.minimum(r2, t) * iw2 * w_pt
+            k = n % N_ACC
+            counts[k] = counts[k] + jnp.where(r2 <= t, w_pt, 0.0)
+            msacs[k] = msacs[k] + jnp.minimum(r2, t) * iw2 * w_pt
+        count = counts[0]
+        msac = msacs[0]
+        for k in range(1, N_ACC):
+            count = count + counts[k]
+            msac = msac + msacs[k]
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         count = jnp.where(valid, count, -1.0)

@@ -54,6 +54,7 @@ from ransac_tpu.ops.pallas.gather import tree_gather_many
 BLOCK_H = 4096
 SUB = 8
 MAX_POINTS = 16
+N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
 
 
 def _fmix(x):
@@ -213,8 +214,13 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
         finv = jax.lax.rsqrt(jnp.maximum(fn2, 1e-36))
         F = [f * finv for f in F]
 
-        count = jnp.zeros((SUB, LAN), jnp.float32)
-        msac = jnp.zeros((SUB, LAN), jnp.float32)
+        # N_ACC independent accumulator pairs: with one pair the score
+        # loop is LATENCY-bound on the serial accumulate chains (the
+        # round-5 flagship finding, ops.pallas.sweep.N_ACC).
+        counts = [jnp.zeros((SUB, LAN), jnp.float32)
+                  for _ in range(N_ACC)]
+        msacs = [jnp.zeros((SUB, LAN), jnp.float32)
+                 for _ in range(N_ACC)]
         for nn in range(n_score):
             a = x1_ref[nn, 0]
             b = x1_ref[nn, 1]
@@ -235,9 +241,15 @@ def _make_kernel(n_points: int, n_score: int, reduce_block: bool,
             dmax = jnp.maximum(denom, 1e-12)
             n2_ = x2Fx1 * x2Fx1
             t2_ = thr_sq * dmax
-            count = count + jnp.where(n2_ <= t2_, wp, 0.0)
-            msac = msac + (jnp.minimum(n2_, t2_)
-                           * pl.reciprocal(dmax, approx=True) * wp)
+            k = nn % N_ACC
+            counts[k] = counts[k] + jnp.where(n2_ <= t2_, wp, 0.0)
+            msacs[k] = msacs[k] + (jnp.minimum(n2_, t2_)
+                                   * pl.reciprocal(dmax, approx=True) * wp)
+        count = counts[0]
+        msac = msacs[0]
+        for k in range(1, N_ACC):
+            count = count + counts[k]
+            msac = msac + msacs[k]
 
         big = jnp.float32(3.4e38)
         msac = jnp.where(valid, msac, big)

@@ -36,6 +36,7 @@ from ransac_tpu.ops.pallas.sweep_large import (
 
 BLOCK_H = 4096
 SUB = 8
+N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
 
 # Seed layout: 8 Fisher-Yates draw seeds + [8] window bases + [9] shuffle.
 N_SEEDS = 10
@@ -274,8 +275,11 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
 
         # Sampson score over the full SMEM table: rows (u1, v1, u2, v2, w).
         # UNROLL points per trip (padded rows carry w=0).
+        # N_ACC independent accumulator pairs inside the unroll break
+        # the serial accumulate chain (round-5 flagship finding,
+        # ops.pallas.sweep.N_ACC); summed after the loop.
         def sbody(n, carry):
-            count, msac = carry
+            counts, msacs = list(carry[0]), list(carry[1])
             for u_i in range(UNROLL):
                 row = UNROLL * n + u_i
                 a = pts_ref[row, 0]
@@ -296,13 +300,22 @@ def _make_kernel(n_score: int, block_h: int, n_rows: int):
                 dmax = jnp.maximum(denom, 1e-12)
                 n2_ = x2Fx1 * x2Fx1
                 t2_ = thr_sq * dmax
-                count = count + jnp.where(n2_ <= t2_, wp, 0.0)
-                msac = msac + (jnp.minimum(n2_, t2_)
-                               * pl.reciprocal(dmax, approx=True) * wp)
-            return count, msac
+                k = u_i % N_ACC
+                counts[k] = counts[k] + jnp.where(n2_ <= t2_, wp, 0.0)
+                msacs[k] = msacs[k] + (jnp.minimum(n2_, t2_)
+                                       * pl.reciprocal(dmax, approx=True)
+                                       * wp)
+            return tuple(counts), tuple(msacs)
 
-        count, msac = jax.lax.fori_loop(0, n_rows // UNROLL, sbody,
-                                        (zero, zero))
+        counts, msacs = jax.lax.fori_loop(
+            0, n_rows // UNROLL, sbody,
+            (tuple(zero for _ in range(N_ACC)),
+             tuple(zero for _ in range(N_ACC))))
+        count = counts[0]
+        msac = msacs[0]
+        for k in range(1, N_ACC):
+            count = count + counts[k]
+            msac = msac + msacs[k]
 
         big = jnp.float32(3.4e38)
         msac = jnp.where(valid, msac, big)

@@ -45,6 +45,7 @@ BLOCK_H = 4096
 SUB = 8
 LAN = BLOCK_H // SUB
 MAX_POINTS = 1024  # SMEM point table: N * 5 * 4 B (<= 20 KB)
+N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
 #: Per-block sampling window (see ``window_bases``): each block draws its
 #: minimal samples inside a WINDOW-slot span of the shuffled pool, cutting
 #: the one-hot gather from O(N) to O(WINDOW) rows.  Marginal sampling
@@ -278,8 +279,11 @@ def _make_kernel(n_score: int, n_rows: int):
         # Score the full SMEM point table: rows are (x, y, px, py, w).
         # UNROLL points per trip (padded rows carry w=0); the loop body
         # is VPU-issue-bound, the unroll amortizes the trip overhead.
+        # N_ACC independent accumulator pairs inside the unroll break
+        # the serial accumulate chain (round-5 flagship finding,
+        # ops.pallas.sweep.N_ACC); summed after the loop.
         def sbody(n, carry):
-            count, msac = carry
+            counts, msacs = list(carry[0]), list(carry[1])
             for u_i in range(UNROLL):
                 row = UNROLL * n + u_i
                 x = pts_ref[row, 0]
@@ -299,12 +303,20 @@ def _make_kernel(n_score: int, n_rows: int):
                 w2 = jnp.maximum(w * w, jnp.float32(1e-30))
                 t = thr_sq * w2
                 iw2 = pl.reciprocal(w2, approx=True)
-                count = count + jnp.where(r2 <= t, w_pt, 0.0)
-                msac = msac + jnp.minimum(r2, t) * iw2 * w_pt
-            return count, msac
+                k = u_i % N_ACC
+                counts[k] = counts[k] + jnp.where(r2 <= t, w_pt, 0.0)
+                msacs[k] = msacs[k] + jnp.minimum(r2, t) * iw2 * w_pt
+            return tuple(counts), tuple(msacs)
 
-        count, msac = jax.lax.fori_loop(0, n_rows // UNROLL, sbody,
-                                        (zero, zero))
+        counts, msacs = jax.lax.fori_loop(
+            0, n_rows // UNROLL, sbody,
+            (tuple(zero for _ in range(N_ACC)),
+             tuple(zero for _ in range(N_ACC))))
+        count = counts[0]
+        msac = msacs[0]
+        for k in range(1, N_ACC):
+            count = count + counts[k]
+            msac = msac + msacs[k]
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         count = jnp.where(valid, count, -1.0)

@@ -38,6 +38,7 @@ BLOCK_H = 1024
 SUB = 8
 LAN = BLOCK_H // SUB
 MAX_POINTS = 16
+N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
 
 
 def _make_kernel(n_score: int):
@@ -93,8 +94,12 @@ def _make_kernel(n_score: int):
                 H[3 * r + c] = (B[r][0] * adjA[0][c] + B[r][1] * adjA[1][c]
                                 + B[r][2] * adjA[2][c])
 
-        count = jnp.zeros((SUB, LAN), jnp.float32)
-        msac = jnp.zeros((SUB, LAN), jnp.float32)
+        # N_ACC independent accumulator pairs (round-5 flagship finding,
+        # ops.pallas.sweep.N_ACC): breaks the serial accumulate chain.
+        counts = [jnp.zeros((SUB, LAN), jnp.float32)
+                  for _ in range(N_ACC)]
+        msacs = [jnp.zeros((SUB, LAN), jnp.float32)
+                 for _ in range(N_ACC)]
         for nn in range(n_score):
             x = src[nn, 0]
             y = src[nn, 1]
@@ -113,8 +118,14 @@ def _make_kernel(n_score: int):
             w2 = jnp.maximum(w * w, jnp.float32(1e-30))
             t = thr_sq * w2
             iw2 = pl.reciprocal(w2, approx=True)
-            count = count + jnp.where(r2 <= t, wp, 0.0)
-            msac = msac + jnp.minimum(r2, t) * iw2 * wp
+            k = nn % N_ACC
+            counts[k] = counts[k] + jnp.where(r2 <= t, wp, 0.0)
+            msacs[k] = msacs[k] + jnp.minimum(r2, t) * iw2 * wp
+        count = counts[0]
+        msac = msacs[0]
+        for k in range(1, N_ACC):
+            count = count + counts[k]
+            msac = msac + msacs[k]
 
         msac = jnp.where(valid, msac, jnp.float32(3.4e38))
         packed = (idx[0] + idx[1] * 16 + idx[2] * 256 + idx[3] * 4096)

@@ -302,6 +302,91 @@ def _retriangulate_widest(m, tracks, gate_n, rebuild: bool = False):
                  n_acc)
 
 
+def frame_reproj_errors(m, tracks) -> dict:
+    """Median reprojection error (pixels) per registered frame over its
+    observations of current map points (host numpy — thousands of obs)."""
+    K = np.asarray(m.K, np.float64)
+    errs: dict = {}
+    Rs = {f: _np_rodrigues(m.camera_poses[f][:3]) for f in m.camera_poses}
+    for (f, t), uv in tracks.items():
+        if f not in m.camera_poses or t not in m.points:
+            continue
+        pose = m.camera_poses[f]
+        xc = Rs[f] @ m.points[t] + pose[3:]
+        if xc[2] <= 1e-9:
+            e = np.inf
+        else:
+            pr = K[:2, :2] @ (xc[:2] / xc[2]) + K[:2, 2]
+            e = float(np.linalg.norm(pr - np.asarray(uv, np.float64)))
+        errs.setdefault(f, []).append(e)
+    return {f: float(np.median(v)) for f, v in errs.items()}
+
+
+def reregister_outlier_frames(m, tracks, ransac_cfg=None,
+                              factor: float = 3.0, min_px: float = 4.0,
+                              engine: str | None = None,
+                              seed: int = 99) -> int:
+    """Re-localize frames whose pose broke during incremental
+    reconstruction: any frame whose MEDIAN reprojection error exceeds
+    ``max(factor * trajectory median, min_px)`` is re-registered by
+    PnP-RANSAC against the CURRENT map, and the new pose is kept only if
+    it actually lowers that frame's median error (monotone, like the
+    widest-pair retriangulation).  Measured failure mode this repairs
+    (round 5, circuit demo): frames registered early against the thin
+    16-point bootstrap seed can lock a bad pose that later BAs cannot
+    leave (the gauge pin keeps frame 0 fixed while the maturing map
+    drifts coherently away — frame 0's estimated baseline to frame 1
+    reached 77x the median step).  Returns the number of frames moved.
+    Relocalization against the map is the standard SLAM recovery
+    (generalizes the reference's single-image PnP,
+    /root/reference/main_v1.py:497)."""
+    from ransac_tpu.utils.config import RansacConfig
+
+    if engine is None:
+        engine = ("sweep" if jax.devices()[0].platform == "tpu"
+                  else "stage")
+    cfg = ransac_cfg or RansacConfig(threshold=4.0, num_hypotheses=2048,
+                                     exhaustive=False)
+    errs = frame_reproj_errors(m, tracks)
+    if not errs:
+        return 0
+    med = float(np.median(list(errs.values())))
+    gate = max(factor * med, min_px)
+    bad = sorted(f for f, e in errs.items() if e > gate)
+    if not bad:
+        return 0
+    Kj = jnp.asarray(m.K, jnp.float32)
+    key = jax.random.key(seed)
+    n_moved = 0
+    for f in bad:
+        vis = sorted(t for t in m.points if (f, t) in tracks)
+        if len(vis) < 6:
+            continue
+        nb = _bucket(len(vis))
+        Xw = _pad_rows(np.stack([m.points[t] for t in vis]), nb)
+        uv = _pad_rows(np.stack([tracks[(f, t)] for t in vis]), nb)
+        w_vis = jnp.asarray(_pad_rows(np.ones(len(vis), np.float32), nb))
+        key, k2 = jax.random.split(key)
+        packed = np.asarray(_pnp_dispatch(
+            jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
+            Kj, w_vis, k2, cfg, engine == "sweep" and nb <= 512),
+            np.float64)
+        pose_new = np.concatenate(
+            [_np_log_so3(packed[:9].reshape(3, 3)), packed[9:12]])
+        old = m.camera_poses[f]
+        m.camera_poses[f] = pose_new
+        e_new = frame_reproj_errors(m, {k: v for k, v in tracks.items()
+                                        if k[0] == f}).get(f, np.inf)
+        if e_new < errs[f]:
+            n_moved += 1
+            log.info("re-registered frame %d: median reproj %.1f -> "
+                     "%.1f px (%d/%d PnP inliers)", f, errs[f], e_new,
+                     int(packed[12]), len(vis))
+        else:
+            m.camera_poses[f] = old
+    return n_moved
+
+
 def prune_observations(p: BAProblem, max_px: float) -> tuple[BAProblem, int]:
     """Zero the weight of observations whose current reprojection residual
     exceeds ``max_px`` (standard SfM outlier rejection before a final BA

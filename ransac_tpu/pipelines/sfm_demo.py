@@ -226,8 +226,16 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
 
     # --- 4. outlier pruning + final matrix-free PCG Schur BA polish
     # (two rounds with re-pruning between: the first round's solution
-    # exposes outliers the drifted incremental estimate hid).
-    from ransac_tpu.pipelines.sfm import prune_observations
+    # exposes outliers the drifted incremental estimate hid).  First,
+    # re-localize any frame whose pose broke during the incremental pass
+    # (registered early against the thin bootstrap seed and left behind
+    # by later BAs — see sfm.reregister_outlier_frames).
+    from ransac_tpu.pipelines.sfm import (prune_observations,
+                                          reregister_outlier_frames)
+
+    n_rereg = reregister_outlier_frames(m, tracks)
+    if n_rereg:
+        log.info("re-registered %d broken frames before polish", n_rereg)
 
     def _polish(mm):
         p, frames_l, track_ids = mm.as_ba_problem(tracks)
@@ -277,10 +285,27 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
             min_gap=max(frames // 4, 12), min_shared=20, seed=seed + 17,
             frontend=(xy, valid, desc))
         if n_loop_edges:
+            est_pg = _cam_centers(m.camera_poses)
+            ate_pg_raw = _umeyama_ate(est_pg, t_gt[sorted(m.camera_poses)])
+            log.info("raw PGO trajectory ATE: %.4f (was %.4f)",
+                     ate_pg_raw, ate_no_pg)
             # The old points live in the pre-correction drifted frame:
-            # rebuild the map from scratch off the corrected poses.
+            # rebuild the map from scratch off the corrected poses
+            # (fused closure tracks now span the loop, so their widest
+            # pair crosses it and the reprojection constraints close it).
             _retriangulate_widest(
                 m, tracks, 2.0 * 4.0 / float(K[0, 0]), rebuild=True)
+            # Huber-robust smoothing BA BEFORE any pruning: the PGO
+            # distributes closure-measurement noise into local kinks,
+            # and pruning at 8 px against the kinked init throws away
+            # the very observations BA needs to iron them out
+            # (measured: 1805 -> 263 retained obs, gate reject).
+            p0, frames_l0, track_ids0 = m.as_ba_problem(tracks)
+            res_s = bundle_adjust_cg(
+                from_ba_problem(p0),
+                BundleAdjustConfig(max_iters=24, huber_scale=4.0),
+                cg_iters=32)
+            m.apply_ba(res_s, frames_l0, track_ids0)
             res, sp, n_drop2, frames_l, track_ids = _polish(m)
             # Closure VERIFICATION (standard loop-closing practice): a
             # wrong closure — here usually a noise-dominated scale

@@ -198,3 +198,82 @@ def test_sim3_pose_graph_repairs_scale_drift():
     fixed = np.asarray(sim3_to_se3(poses7), np.float64)
     ate1 = _ate(fixed, gt)
     assert ate1 < 0.5 * ate0, (ate0, ate1)
+
+
+def _sim3_scale_drift_graph(V=24, n_loop=3):
+    """Scale-drifted circuit + Sim(3) graph in the pipeline convention
+    (mirrors test_sim3_pose_graph_repairs_scale_drift's construction)."""
+    from ransac_tpu.ba.posegraph import (PoseGraphSim3, compose, relative,
+                                         relative_sim3)
+
+    gt = _circle_poses(V)
+    drifted = [gt[0].copy()]
+    for k in range(1, V):
+        z = np.asarray(relative(jnp.asarray(gt[k - 1]),
+                                jnp.asarray(gt[k])))
+        z = z.copy()
+        z[3:] *= 1.03 ** k
+        drifted.append(np.asarray(compose(jnp.asarray(z),
+                                          jnp.asarray(drifted[-1]))))
+    drifted = np.stack(drifted)
+    p7 = np.concatenate([drifted, np.zeros((V, 1))], 1)
+    gt7 = np.concatenate([gt, np.zeros((V, 1))], 1)
+    ei, ej, ez, ew = [], [], [], []
+    for k in range(V - 1):
+        z = np.asarray(relative_sim3(jnp.asarray(p7[k], jnp.float32),
+                                     jnp.asarray(p7[k + 1], jnp.float32)))
+        ei.append(k)
+        ej.append(k + 1)
+        ez.append(z)
+        ew.append(1.0)
+    loops = [(0, V - 1), (1, V - 2), (2, V // 2)][:n_loop]
+    for (a, b) in loops:
+        z = np.asarray(relative_sim3(jnp.asarray(gt7[a], jnp.float32),
+                                     jnp.asarray(gt7[b], jnp.float32)),
+                       np.float64)
+        s_a, s_b = 1.03 ** a, 1.03 ** b
+        z[3:6] *= s_b
+        z[6] = np.log(s_b / s_a)
+        ei.append(a)
+        ej.append(b)
+        ez.append(z)
+        ew.append(2.0)
+    sw = np.array([0.0] * (V - 1) + [1.0] * len(loops), np.float32)
+    g = PoseGraphSim3(
+        poses=jnp.asarray(p7, jnp.float32),
+        edge_i=jnp.asarray(np.array(ei, np.int32)),
+        edge_j=jnp.asarray(np.array(ej, np.int32)),
+        edge_z=jnp.asarray(np.stack(ez).astype(np.float32)),
+        edge_w=jnp.asarray(np.array(ew, np.float32)),
+        edge_sw=jnp.asarray(sw))
+    return g, gt, drifted
+
+
+@pytest.mark.slow
+def test_distributed_sim3_pose_graph_edge_sharded():
+    """VERDICT r4 #5: the Sim(3) (monocular loop-closing) pose graph has
+    a distributed mirror too — 8-device edge-sharded psum run must match
+    the 1-device run of the same algorithm on the SCALE-drift circuit
+    and repair the drift."""
+    from ransac_tpu.ba.posegraph import sim3_to_se3
+    from ransac_tpu.parallel.dist_posegraph import (
+        distributed_pose_graph_sim3)
+    from ransac_tpu.parallel.mesh import make_mesh
+
+    g, gt, drifted = _sim3_scale_drift_graph(24)
+    mesh8 = make_mesh(8, data=8, model=1)
+    mesh1 = make_mesh(1, data=1, model=1)
+    p8, c8 = distributed_pose_graph_sim3(g, mesh8, n_iters=40)
+    p1, c1 = distributed_pose_graph_sim3(g, mesh1, n_iters=40)
+    # f32 psum ordering perturbs the LM path along gauge-free directions
+    # (measured ~1e-3 pose wiggle at cost ~1e-13 on both): assert
+    # DECISION equality — both converge, poses agree to the wiggle, and
+    # the repaired ATEs match.
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1),
+                               rtol=1e-2, atol=5e-3)
+    assert float(c8) < 1e-8 and float(c1) < 1e-8, (float(c8), float(c1))
+    ate0 = _ate(drifted, gt)
+    ate8 = _ate(np.asarray(sim3_to_se3(jnp.asarray(p8)), np.float64), gt)
+    ate1 = _ate(np.asarray(sim3_to_se3(jnp.asarray(p1)), np.float64), gt)
+    assert abs(ate8 - ate1) < 1e-3, (ate8, ate1)
+    assert ate8 < 0.5 * ate0, (ate0, ate8)
