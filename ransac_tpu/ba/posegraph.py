@@ -123,9 +123,16 @@ def edge_residuals_sim3(g: PoseGraphSim3, poses: jnp.ndarray
     # monocular chain, and unnormalized absolute-translation residuals
     # let the inflated-scale region dominate the least squares.  This
     # approximates a relative-error information matrix; rotation and
-    # log-scale residuals are already dimensionless.
-    t_scale = jnp.maximum(
-        jnp.linalg.norm(g.edge_z[:, 3:6], axis=-1), 1e-2)
+    # log-scale residuals are already dimensionless.  The normalizer is
+    # floored at HALF THE GRAPH'S MEDIAN |z_t|: a loop closure's
+    # measured baseline is tiny by nature (a revisit), and dividing by
+    # it weighted the closure's translation rows ~400x over everything
+    # else — the round-5 circuit demo's optimizer sacrificed an
+    # 0.1-degree-accurate closure rotation by 85 degrees AND drove node
+    # scales to 0.003 to appease those rows.
+    t_norm = jnp.linalg.norm(g.edge_z[:, 3:6], axis=-1)
+    t_scale = jnp.maximum(t_norm,
+                          jnp.maximum(0.5 * jnp.median(t_norm), 1e-2))
     err = err.at[:, 3:6].divide(t_scale[:, None])
     return err * g.edge_w[:, None]
 

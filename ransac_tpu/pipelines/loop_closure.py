@@ -9,12 +9,12 @@ unused.  This module supplies the missing glue:
   far apart in time (``|i - j| >= min_gap``) that share many tracks —
   computed from the track table with one vectorized pass (a [F, T]
   incidence matmul), no per-pair Python scans.
-- **Drift-free relative-pose measurement** (`closure_edge`): a fused
-  essential-RANSAC two-view solve on the pair's shared pixel
-  observations (independent of the drifted SfM estimates), with the
-  monocular scale resolved against the CURRENT map: the median ratio of
-  map depth to two-view triangulated depth over the pair's inlier
-  tracks.
+- **Drift-free relative-similarity measurement** (`closure_edge`): a
+  hybrid Sim(3) estimator — rotation from fused essential-RANSAC on the
+  pair's own pixel matches, relative scale from robust pairwise-distance
+  ratios between matched region-local 3-D points, translation from
+  component medians (see `closure_edge` for the measured failure modes
+  of the two earlier designs this replaces).
 - **Pose-graph assembly** (`build_pose_graph`): odometry edges between
   consecutive registered frames (measured from the incremental
   estimates — locally accurate, globally drifted) plus the closure
@@ -201,93 +201,69 @@ def _region_points(m, tracks, tids, f0: int, window: int,
     return out
 
 
-def _umeyama_sim3(A: np.ndarray, B: np.ndarray):
-    """Closed-form similarity fit B ~ s R A + t (Umeyama 1991) over
-    matched 3-D point sets [N, 3].  Returns (R, t, s)."""
-    mu_a, mu_b = A.mean(0), B.mean(0)
-    Ac, Bc = A - mu_a, B - mu_b
-    cov = Bc.T @ Ac / len(A)
-    U, S, Vt = np.linalg.svd(cov)
-    D = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
-        D[2, 2] = -1.0
-    R = U @ D @ Vt
-    var_a = (Ac ** 2).sum() / len(A)
-    s = float(np.trace(np.diag(S) @ D) / max(var_a, 1e-30))
-    t = mu_b - s * (R @ mu_a)
-    return R, t, s
-
-
-def _ransac_umeyama(A: np.ndarray, B: np.ndarray, iters: int = 512,
-                    rel_thresh: float = 0.15, seed: int = 0):
-    """Robust Sim(3) alignment of matched 3-D point pairs: minimal
-    3-point Umeyama hypotheses, inliers by RELATIVE 3-D error (the point
-    sets span depths 4..10+, so an absolute threshold over/under-gates),
-    best-consensus refit iterated twice.  N is tens — a host numpy loop
-    is microseconds; the device kernels stay reserved for the million-
-    hypothesis sweeps.  Returns (R, t, s, inlier_mask)."""
-    rng = np.random.default_rng(seed)
+def _pairwise_scale(A: np.ndarray, B: np.ndarray,
+                    max_pairs: int = 4000, seed: int = 0):
+    """Robust relative scale between two matched 3-D point sets: the
+    median of pairwise-distance ratios |B_i - B_j| / |A_i - A_j| over
+    random index pairs.  Rotation/translation-independent by
+    construction, and far more robust than per-point depth ratios or a
+    full Procrustes fit: map depths are ray-consistent but depth-noisy
+    (a point can reproject perfectly at its anchor frame while sitting
+    anywhere along the ray), which scatters absolute positions but
+    cancels in the DISTANCE statistics' median.  Returns (s, mad_log)
+    or (None, None) with < 4 usable pairs."""
     n = len(A)
-    norm_b = np.maximum(np.linalg.norm(B, axis=1), 1e-9)
-    best = (None, -1)
-    for _ in range(iters):
-        idx = rng.choice(n, 3, replace=False)
-        a3, b3 = A[idx], B[idx]
-        # Degenerate (near-collinear) samples measure no rotation.
-        if (np.linalg.norm(np.cross(a3[1] - a3[0], a3[2] - a3[0]))
-                < 1e-9 * np.linalg.norm(a3[1] - a3[0]) ** 2):
-            continue
-        R, t, s = _umeyama_sim3(a3, b3)
-        if not (1e-3 < s < 1e3):
-            continue
-        err = np.linalg.norm(B - (s * (A @ R.T) + t), axis=1) / norm_b
-        cnt = int((err < rel_thresh).sum())
-        if cnt > best[1]:
-            best = ((R, t, s), cnt)
-    if best[0] is None or best[1] < 3:
-        return None
-    R, t, s = best[0]
-    inl = np.zeros(n, bool)
-    for _ in range(2):
-        err = np.linalg.norm(B - (s * (A @ R.T) + t), axis=1) / norm_b
-        inl = err < rel_thresh
-        if inl.sum() < 3:
-            return None
-        R, t, s = _umeyama_sim3(A[inl], B[inl])
-    return R, t, s, inl
+    if n < 3:
+        return None, None
+    rng = np.random.default_rng(seed)
+    iu = np.triu_indices(n, 1)
+    if len(iu[0]) > max_pairs:
+        sel = rng.choice(len(iu[0]), max_pairs, replace=False)
+        iu = (iu[0][sel], iu[1][sel])
+    da = np.linalg.norm(A[iu[0]] - A[iu[1]], axis=1)
+    db = np.linalg.norm(B[iu[0]] - B[iu[1]], axis=1)
+    ok = (da > 1e-9) & (db > 1e-9)
+    if ok.sum() < 4:
+        return None, None
+    logr = np.log(db[ok] / da[ok])
+    med = float(np.median(logr))
+    mad = float(np.median(np.abs(logr - med)))
+    return float(np.exp(med)), mad
 
 
 def closure_edge(tracks: dict, m, K, fi: int, fj: int,
                  ransac_cfg: RansacConfig | None = None, seed: int = 17,
                  uv_pair=None, window: int | None = None):
-    """Measure the relative similarity Z (j <- i) for a loop pair by
-    Sim(3) alignment of matched REGION-LOCAL 3-D points — the ORB-SLAM
-    loop-closing recipe (Horn/Umeyama on matched map points of the two
-    keyframes), not essential-matrix + depth-ratio scale anchors.
+    """Measure the relative similarity Z (j <- i) for a loop pair with a
+    HYBRID estimator, each component taken from its best-conditioned
+    domain (round-5 design after two measured failures):
 
-    Round-5 redesign rationale (measured on the circuit demo): the
-    essential path's unit-baseline translation needed a separate
-    monocular-scale estimate from 4-14 noisy map/two-view depth ratios,
-    and same-gap closures disagreed by up to 20% relative scale —
-    feeding the Sim(3) graph edges that made the trajectory WORSE (raw
-    PGO ATE 0.286 -> 0.341).  Here every matched pair constrains R, t
-    AND s jointly in one robust fit:
+    - **Rotation** from essential-matrix RANSAC on the pair's own PIXEL
+      correspondences (the fused Pallas sweep on TPU) — sub-degree,
+      independent of any 3-D noise.  (A point-cloud Procrustes rotation
+      was tried first: map depths are ray-consistent but depth-noisy,
+      capping its consensus at ~20% on real revisits.)
+    - **Relative scale** s = s_j / s_i from the median of pairwise-
+      distance ratios between matched region-local 3-D points
+      (`_pairwise_scale`) — translation/rotation-independent, robust to
+      along-ray depth scatter.  (Per-point depth-ratio medians — the
+      round-4 design — disagreed by 20% between same-gap closures and
+      made the pose graph WORSE.)
+    - **Translation** as the component-wise median of B - s R A over
+      the matched 3-D pairs.
 
-    1. match keypoints of frames i/j (shared tracks, or appearance
-       matches via exact-uv track lookup);
-    2. triangulate each side's tracks from observations WITHIN
-       ``window`` frames of its own frame (`_region_points`) — each
-       side in its own region's locally-consistent scale;
-    3. camera-frame coordinates on both sides -> RANSAC-Umeyama
-       similarity (j <- i): x_cam_j = s R x_cam_i + t, where
-       s = s_j / s_i is exactly the relative monocular scale drift the
-       Sim(3) pose graph corrects.
-
-    Returns ``(z7 [7], n_inliers, fuse_pairs)`` or ``None`` (too few
-    matched region points / no consensus / degenerate scale).
-    Generalizes the reference's single-image LM pose machinery
-    (/root/reference/main_v1.py:508) to trajectory consistency.
+    Correspondences come from shared tracks or appearance matches
+    (``uv_pair``); each side's 3-D points are region-local (healthy map
+    points, else windowed triangulation — `_side_points` below).
+    Returns ``(z7 [7], n_inliers, fuse_pairs)`` or ``None``.
+    Generalizes the reference's single-image pose machinery
+    (/root/reference/main_v1.py:497-512) to trajectory consistency.
     """
+    import jax
+
+    from ransac_tpu.models import ransac as ransac_mod
+    from ransac_tpu.ops import epipolar
+    from ransac_tpu.ops import projection as proj
     from ransac_tpu.ops.rotation import log_so3
     from ransac_tpu.pipelines.sfm import _np_rodrigues
 
@@ -295,10 +271,14 @@ def closure_edge(tracks: dict, m, K, fi: int, fj: int,
         common = sorted(t for t in {t for f, t in tracks if f == fi}
                         if (fj, t) in tracks)
         pairs = [(t, t) for t in common]
+        if len(pairs) < 8:
+            log.info("closure %d-%d REJECTED: %d matched tracks", fi,
+                     fj, len(pairs))
+            return None
+        x1p = np.stack([tracks[(fi, t)] for t in common])
+        x2p = np.stack([tracks[(fj, t)] for t in common])
     else:
         x1p, x2p = uv_pair
-        # Exact uv lookup is reliable: xy values flow unmodified from
-        # the detector into the track table.
         uv2tid_i = {tuple(np.asarray(uv)): t
                     for (f, t), uv in tracks.items() if f == fi}
         uv2tid_j = {tuple(np.asarray(uv)): t
@@ -307,27 +287,44 @@ def closure_edge(tracks: dict, m, K, fi: int, fj: int,
                  for a, b in zip(x1p, x2p)]
         pairs = [(a, b) for a, b in pairs
                  if a is not None and b is not None]
-    if len(pairs) < 8:
-        log.info("closure %d-%d REJECTED: %d matched tracks", fi, fj,
-                 len(pairs))
+        if len(pairs) < 8 or len(x1p) < 16:
+            log.info("closure %d-%d REJECTED: %d matched tracks", fi,
+                     fj, len(pairs))
+            return None
+
+    # --- rotation: essential RANSAC on the pixel matches.
+    Kj = jnp.asarray(K, jnp.float32)
+    x1 = proj.normalize_pixels(jnp.asarray(x1p, jnp.float32), Kj)
+    x2 = proj.normalize_pixels(jnp.asarray(x2p, jnp.float32), Kj)
+    w = jnp.ones(len(x1p), jnp.float32)
+    cfg = ransac_cfg or RansacConfig(threshold=4.0, num_hypotheses=4096)
+    e_cfg = RansacConfig(
+        threshold=(cfg.threshold / float(np.asarray(K)[0, 0])) ** 2,
+        num_hypotheses=cfg.num_hypotheses, selection=cfg.selection)
+    if jax.devices()[0].platform == "tpu":
+        eres = ransac_mod.ransac_essential_sweep(x1, x2, w, e_cfg, seed)
+    else:
+        eres = ransac_mod.ransac_essential(x1, x2, w, e_cfg,
+                                           jax.random.key(seed))
+    R_e, t_e, X_e, n_e = epipolar.recover_pose(
+        eres.model, x1, x2, eres.inlier_mask.astype(jnp.float32))
+    if int(n_e) < 10:
+        log.info("closure %d-%d REJECTED: %d cheiral essential inliers",
+                 fi, fj, int(n_e))
         return None
+    R = np.asarray(R_e, np.float64)
+
+    # --- region-local 3-D points per side.
     if window is None:
         window = 8
 
     def _side_points(tids, f0):
         """Per-track 3-D points for one side, in that side's own
-        region-local scale.  Tracks are consecutive-frame-local, so a
-        BA-polished map point IS region-local — prefer it whenever it
-        reprojects healthily at the anchor frame (it carries multi-view
-        information a 2-view regional solve lacks, and survives the
-        scale-collapsed stretches where in-window baselines fall under
-        the triangulation angle gate).  Fall back to `_region_points`
-        for tracks the map lost.  The one case a map point must NOT be
-        used for is a track SPANNING the loop (same tid on both sides)
-        — its map point mixes both regions; spanning tids are handled
-        by the caller passing them through the regional path."""
-        from ransac_tpu.pipelines.sfm import _np_rodrigues
-
+        region-local scale: healthy BA-polished map points (tracks are
+        consecutive-frame-local, so a map point IS region-local) with
+        windowed triangulation as fallback.  A track SPANNING the loop
+        (same tid both sides) must NOT use its map point — the caller
+        routes spanning tids through the regional path only."""
         pose = m.camera_poses[f0]
         Ra = _np_rodrigues(pose[:3])
         Kn = np.asarray(K, np.float64)
@@ -372,29 +369,43 @@ def closure_edge(tracks: dict, m, K, fi: int, fj: int,
         log.info("closure %d-%d REJECTED: %d/%d region-point pairs",
                  fi, fj, len(A), len(pairs))
         return None
-    fit = _ransac_umeyama(np.stack(A), np.stack(B),
-                          iters=512, seed=seed)
-    if fit is None:
-        log.info("closure %d-%d REJECTED: no Sim(3) consensus", fi, fj)
+    A = np.stack(A)
+    B = np.stack(B)
+
+    # --- scale + translation, robust.
+    s, mad_log = _pairwise_scale(A, B, seed=seed)
+    if s is None or not (0.02 < s < 50.0) or mad_log > 0.6:
+        log.info("closure %d-%d REJECTED: scale %s (mad_log %s, %d "
+                 "pairs)", fi, fj, s, mad_log, len(A))
         return None
-    R, t, s, inl = fit
+    # Translation DIRECTION from the essential decomposition (pixel-
+    # domain, cheirality-resolved — measured 0.1-deg-accurate rotations
+    # come with similarly clean baselines), MAGNITUDE as the robust 1-D
+    # median of the residual component along that direction.  A full
+    # component-median t = median(B - sRA) was tried first and produced
+    # garbage directions: the 3-D pair residuals scatter ALONG THE VIEW
+    # RAYS (correlated, non-isotropic), which biases every component,
+    # while the along-baseline projection median averages it out.
+    t_dir = np.asarray(t_e, np.float64).reshape(3)
+    t_dir /= max(np.linalg.norm(t_dir), 1e-12)
+    resid = B - s * (A @ R.T)
+    t_mag = float(np.median(resid @ t_dir))
+    t_vec = t_mag * t_dir
+    err = np.linalg.norm(resid - t_vec, axis=1) \
+        / np.maximum(np.linalg.norm(B, axis=1), 1e-9)
+    inl = err < 0.25
     n = int(inl.sum())
-    # Consensus floor 30%: on a hard revisit both regional point sets
-    # carry real multi-epoch scale inconsistency (measured depth spreads
-    # up to 26x on the 96-frame circuit), so a single similarity cannot
-    # explain much more than the mutually-consistent core; demanding 50%
-    # rejected every true large-drift closure while the downstream
-    # verification gate already guards against wrong-consensus edges.
-    if n < 8 or n < 0.3 * len(A) or not (0.05 < s < 20.0):
-        log.info("closure %d-%d REJECTED: %d/%d Sim(3) inliers, "
-                 "scale %.3f", fi, fj, n, len(A), s)
+    if n < 6:
+        log.info("closure %d-%d REJECTED: %d/%d Sim(3)-consistent "
+                 "pairs", fi, fj, n, len(A))
         return None
-    # Edge convention (PoseGraphSim3): Z maps camera-i coords to
-    # camera-j coords, x_cj = s R x_ci + t with s = s_j / s_i.
+    t_vec = float(np.median(resid[inl] @ t_dir)) * t_dir
+
     z7 = np.concatenate([np.asarray(log_so3(jnp.asarray(R)), np.float64),
-                         t.astype(np.float64), [np.log(s)]])
-    log.info("closure %d-%d: %d/%d Sim(3) inliers, rel scale %.3f",
-             fi, fj, n, len(A), s)
+                         t_vec.astype(np.float64), [np.log(s)]])
+    log.info("closure %d-%d: %d essential inliers, %d/%d 3-D pairs "
+             "consistent, rel scale %.3f (mad_log %.2f)", fi, fj,
+             int(n_e), n, len(A), s, mad_log)
     fuse = [(a, b) for k, (a, b) in enumerate(kept)
             if inl[k] and a != b]
     return z7, n, fuse
@@ -528,7 +539,11 @@ def apply_pose_graph(m, tracks: dict, K,
         m, tracks, K, pairs, ransac_cfg, seed=seed)
     if n_loop == 0:
         return 0
-    poses_new, cost, iters = optimize_pose_graph_sim3(g)
+    # 200 LM iterations: a single-closure 64-node graph measured ~150
+    # iterations to converge (the closure's translation rows start 2-3
+    # orders above everything else); the graph is tiny, each iteration
+    # is microseconds.
+    poses_new, cost, iters = optimize_pose_graph_sim3(g, max_iters=200)
     scales = np.exp(np.asarray(poses_new[:, 6], np.float64))
     log.info("pose graph (sim3): %d nodes, %d edges (%d loop), cost "
              "%.4g (%d iters); node scales %.3f..%.3f", len(frame_list),

@@ -570,46 +570,58 @@ def incremental_sfm(
     gate_n = 2.0 * ransac_cfg.threshold / float(K[0, 0])
     key_box = [key]
 
-    def register_frame(f) -> bool:
-        """PnP-register frame f against the current map, then
-        triangulate its new tracks.  Returns False (frame left
-        unregistered) when too few map correspondences exist YET — the
-        retry pass revisits it once the map has grown."""
+    def _dispatch_pnp(f):
+        """Issue frame f's PnP-RANSAC against the CURRENT map without
+        blocking; returns ``(vis, device_result)`` or None (too few map
+        correspondences yet).  The split from `_finish_pnp` lets a whole
+        registration window's dispatches pipeline through the
+        accelerator tunnel before the first result is fetched — the
+        round-4 demo spent 4-6 BLOCKING round-trips per frame (0.59
+        s/frame steady state) on a dependency chain that does not
+        actually exist within a window (the map is frozen until the
+        window's triangulation pass)."""
         vis = sorted(t for t in m.points if (f, t) in tracks)
         if len(vis) < 6:
             log.warning("frame %d: only %d map correspondences, "
                         "deferring", f, len(vis))
-            return False
+            return None
         nb = _bucket(len(vis))
         Xw = _pad_rows(np.stack([m.points[t] for t in vis]), nb)
         uv = _pad_rows(np.stack([tracks[(f, t)] for t in vis]), nb)
         w_vis = jnp.asarray(_pad_rows(np.ones(len(vis), np.float32), nb))
         key_box[0], k2 = jax.random.split(key_box[0])
         use_sweep = engine == "sweep" and nb <= 512
-        packed = np.asarray(_pnp_dispatch(
+        return vis, _pnp_dispatch(
             jnp.asarray(Xw, jnp.float32), jnp.asarray(uv, jnp.float32),
-            Kj, w_vis, k2, ransac_cfg, use_sweep), np.float64)
+            Kj, w_vis, k2, ransac_cfg, use_sweep)
+
+    def _finish_pnp(f, vis, dev):
+        packed = np.asarray(dev, np.float64)
         m.camera_poses[f] = np.concatenate(
             [_np_log_so3(packed[:9].reshape(3, 3)), packed[9:12]])
         log.info("frame %d registered: %d/%d PnP inliers", f,
                  int(packed[12]), len(vis))
 
-        # ---- triangulate new tracks from EACH TRACK'S OWN widest-
-        # baseline pair of registered observations (the same principle
-        # as the post-BA widest-pair retriangulation).  Adjacent-frame
-        # baselines can sit below the pixel noise — a 2-view
-        # triangulation fits both views exactly regardless of depth, so
-        # the reprojection gate cannot catch the resulting
-        # quasi-infinite points — and "wide" must be measured in
-        # ESTIMATED CAMERA-CENTER DISTANCE, not frame-index distance
-        # (on loop trajectories the index-far frame is spatially close
-        # again; the round-3 single-partner index heuristic collapsed
-        # the circuit reconstruction to step-scale ratios of ~1e-3).
-        # The triangulation angle gate remains the real filter.
+    def _triangulate_frames(fs):
+        """Triangulate the not-yet-mapped tracks visible in frames
+        ``fs`` from EACH TRACK'S OWN widest-baseline pair of registered
+        observations (the same principle as the post-BA widest-pair
+        retriangulation).  Adjacent-frame baselines can sit below the
+        pixel noise — a 2-view triangulation fits both views exactly
+        regardless of depth, so the reprojection gate cannot catch the
+        resulting quasi-infinite points — and "wide" must be measured
+        in ESTIMATED CAMERA-CENTER DISTANCE, not frame-index distance
+        (on loop trajectories the index-far frame is spatially close
+        again).  The triangulation angle gate remains the real filter.
+        One batched pass for the whole window: pair groups merge across
+        frames, so device calls stay O(groups), not O(frames)."""
         reg_set = set(m.camera_poses)
         centers = {g: _cam_center(m.camera_poses[g]) for g in reg_set}
+        cand = set()
+        for f in fs:
+            cand |= tracks_by_frame.get(f, set())
         by_pair: dict = {}
-        for t in tracks_by_frame.get(f, set()):
+        for t in cand:
             if t in m.points:
                 continue
             gs = sorted(g for g in frames_by_track.get(t, ())
@@ -627,7 +639,6 @@ def incremental_sfm(
             for tr, X in _triangulate_pair_gated(
                     m, tracks, g1, g2, sorted(tl), Kj, gate_n).items():
                 m.points[tr] = X
-        return True
 
     def run_ba(after_f):
         p, frames, track_ids = m.as_ba_problem(tracks)
@@ -638,10 +649,14 @@ def incremental_sfm(
                  int(res_ba.iterations))
         _retriangulate_widest(m, tracks, gate_n)
 
-    # Main pass + retry passes: a frame deferred for lack of map
-    # correspondences often becomes registrable once later frames have
-    # grown the map (before retries, one thin frame could cascade into
-    # an unregistered tail — observed on the circuit demo).
+    # Main pass + retry passes, WINDOWED (round 5): frames register in
+    # windows of ``ba_every`` against a map frozen for the window — all
+    # of a window's PnP dispatches are in flight before the first
+    # result is fetched, then ONE window-wide triangulation pass and
+    # one BA.  A frame deferred for lack of map correspondences often
+    # becomes registrable once later frames have grown the map (the
+    # retry passes; before them, one thin frame could cascade into an
+    # unregistered tail — observed on the circuit demo).
     pending = [f for f in frame_order[start_idx:]
                if f not in m.camera_poses]
     n_done = 0
@@ -652,14 +667,24 @@ def incremental_sfm(
             log.info("retry pass %d over %d deferred frames", pass_i,
                      len(pending))
         still = []
-        for f in pending:
-            if register_frame(f):
-                n_done += 1
-                if n_done % ba_every == 0:
-                    run_ba(f)
-                    save_ckpt(n_done)
-            else:
-                still.append(f)
+        win = max(1, ba_every)
+        for w0 in range(0, len(pending), win):
+            window = pending[w0:w0 + win]
+            inflight = []
+            for f in window:
+                d = _dispatch_pnp(f)
+                if d is None:
+                    still.append(f)
+                else:
+                    inflight.append((f, d[0], d[1]))
+            if not inflight:
+                continue
+            for f, vis, dev in inflight:
+                _finish_pnp(f, vis, dev)
+            n_done += len(inflight)
+            _triangulate_frames([f for f, _, _ in inflight])
+            run_ba(inflight[-1][0])
+            save_ckpt(n_done)
         if len(still) == len(pending):
             break  # no progress: a further pass cannot help
         pending = still

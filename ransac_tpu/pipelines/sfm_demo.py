@@ -58,38 +58,60 @@ def synth_trajectory_frames(F: int = 64, H: int = 160, W: int = 200,
                   [0.0, f_pix, H / 2.0],
                   [0.0, 0.0, 1.0]])
     if loop:
-        # Closed circuit: frame F returns to frame 0's position.  The
-        # ellipse is sized so per-frame motion (~perimeter / F) matches
-        # the line demo's 0.045 — faster circuits break the patch
-        # tracker's frame-to-frame association.
+        # Closed circuit with an OUTWARD-facing PANNING camera (round-5
+        # redesign): the camera rides a circle in the x-z plane looking
+        # radially out at an annulus of scene points.  Opposite circuit
+        # sides therefore see DISJOINT features — the earlier
+        # constant-orientation circuit let every frame co-observe the
+        # same field across the circuit, and that global rigidity
+        # suppressed exactly the accumulated drift the loop-closure
+        # machinery exists to repair (measured: polish-only ATE 1-3% of
+        # the circuit, nothing for the pose graph to fix).  Here drift
+        # accumulates freely until the revisit — the textbook monocular
+        # loop-closing setting.
         th = 2.0 * np.pi * np.arange(F) / F
-        # Ellipse perimeter ~ 5.2 a (b = 0.64 a): a = 0.045 F / 5.2 so
-        # per-frame motion matches the line demo's 0.045.  The field is
-        # larger than the line demo's, so the point budget scales up to
-        # keep per-view track density comparable.
-        a_el = 0.0087 * F
-        b_el = 0.64 * a_el
-        n_pts = int(n_pts * 1.5)
-        centers = np.stack([
-            a_el * (1.0 - np.cos(th)),
-            b_el * np.sin(th),
-            0.01 * np.cos(np.arange(F) * 0.3)], axis=1)
-        X = np.stack([
-            rng.uniform(-2.4, 2 * a_el + 2.4, n_pts),
-            rng.uniform(-2.0 - b_el, 2.0 + b_el, n_pts),
-            rng.uniform(4.0, 9.0, n_pts)], axis=1)
+        r_c = 0.045 * F / (2.0 * np.pi)      # per-frame arc ~ 0.045
+        # Wider FOV than the line demo (f = 0.72 W, +-35 deg half-angle)
+        # and a dense annulus: the ~5.6 deg/frame pan needs large
+        # consecutive-view overlap, and the ~70 deg wedge each view sees
+        # needs enough points for PnP (measured: at f = 0.9 W the
+        # stride-8 common-track count fell to ~16 and the registration
+        # tail collapsed at 36/64 frames).
+        f_pix = 0.72 * W
+        K = np.array([[f_pix, 0.0, W / 2.0],
+                      [0.0, f_pix, H / 2.0],
+                      [0.0, 0.0, 1.0]])
+        n_pts = int(n_pts * 3.5)
+        centers = np.stack([r_c * np.sin(th),
+                            0.01 * np.cos(np.arange(F) * 0.3),
+                            r_c * np.cos(th)], axis=1)
+        rho = rng.uniform(r_c + 4.0, r_c + 9.0, n_pts)
+        phi = rng.uniform(0.0, 2.0 * np.pi, n_pts)
+        yy = rng.uniform(-0.55, 0.55, n_pts) * 6.5 * H / (W * 0.72)
+        X = np.stack([rho * np.sin(phi), yy, rho * np.cos(phi)], axis=1)
         pats = rng.uniform(0.5, 2.0, (n_pts, 5, 5))
         pats *= rng.choice([-1.0, 1.0], (n_pts, 1, 1))
         imgs = rng.normal(0.0, 0.03, (F, H, W)).astype(np.float32)
+        Rs = np.zeros((F, 3, 3))
         for f in range(F):
-            p = X - centers[f]
-            uv = (K @ p.T).T
+            c, s = np.cos(th[f]), np.sin(th[f])
+            # camera axes in world: x = tangent, y = up, z = outward.
+            Rs[f] = np.stack([[c, 0.0, -s], [0.0, 1.0, 0.0],
+                              [s, 0.0, c]])
+            p = (X - centers[f]) @ Rs[f].T
+            front = p[:, 2] > 0.5
+            uv = p[front] @ K.T
             uv = uv[:, :2] / uv[:, 2:]
+            # Integer patch placement (a subpixel bilinear splat was
+            # tried and REGRESSED tracking — the interpolation smears
+            # the 5x5 patches and weakens Harris/descriptor contrast
+            # more than the +-0.5 px quantization costs).
             ui = np.round(uv[:, 0]).astype(int)
             vi = np.round(uv[:, 1]).astype(int)
             ok = (ui >= 3) & (ui < W - 3) & (vi >= 3) & (vi < H - 3)
-            for j in np.nonzero(ok)[0]:
-                imgs[f, vi[j] - 2:vi[j] + 3, ui[j] - 2:ui[j] + 3] += pats[j]
+            for j, pi in zip(np.nonzero(ok)[0], np.nonzero(front)[0][ok]):
+                imgs[f, vi[j] - 2:vi[j] + 3, ui[j] - 2:ui[j] + 3] \
+                    += pats[pi]
         return imgs, K, centers, X
     step = 0.045
     centers = np.stack([
@@ -178,12 +200,17 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
     # registration need the extra survivors (measured: 108-126 tracked
     # obs/frame vs 68-88 at the line demo's settings).
     if loop:
+        # Round-5 sizing: 320x400 frames with a 768-keypoint budget.
+        # The original 200x256/512 settings starved the map (134 points
+        # for 48 frames; closure scale anchors 4-13 samples) — feature
+        # DENSITY cannot be raised instead (patch descriptors collide,
+        # measured: the reconstruction collapses), the image must grow.
         imgs_np, K, t_gt, _ = synth_trajectory_frames(
-            F=frames, H=200, W=256, seed=seed, loop=True)
+            F=frames, H=320, W=400, n_pts=900, seed=seed, loop=True)
     else:
         imgs_np, K, t_gt, _ = synth_trajectory_frames(F=frames, seed=seed)
     images = jnp.asarray(imgs_np)
-    cfg = TwoViewConfig(max_keypoints=512 if loop else 256, nms_radius=3,
+    cfg = TwoViewConfig(max_keypoints=768 if loop else 256, nms_radius=3,
                         patch_size=8)
     platform = jax.devices()[0].platform
     n_avail = len(jax.devices())
