@@ -42,22 +42,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ransac_tpu.ops.pallas.gather import tree_gather_many
 
-BLOCK_H = 4096
 # Hypotheses are held as 2-D [SUB, LAN] vectors: Mosaic lays 1-D arrays out
 # on a single sublane (1/8 of each (8,128) vreg), so 2-D tiles use the VPU
-# at full width.
+# at full width.  Round 5: LAN 512 -> 256 (every tile 2 vregs instead of
+# 4) paired with N_ACC = 8 below — the block-size/accumulator grid scan
+# (tools/exp_small3.py) put (LAN=256, acc=8) fastest, best observed
+# 0.243 ms per 2^22 (17.2 B hyp/s) vs 0.68-0.79 ms for the round-4
+# kernel on the same quiet host.
 SUB = 8
-LAN = BLOCK_H // SUB
+LAN = 256
+BLOCK_H = SUB * LAN
 MAX_POINTS = 16
 # Independent (count, msac) accumulator pairs in the score loop, summed
 # at the end.  Round-5 finding: with ONE pair the loop is LATENCY-bound
 # on the serial accumulate dependency chains, not issue-bound — the
 # round-4 kernel ran at "44% issue" because each point's count/msac add
-# had to wait for the previous point's.  4 independent pairs measured
-# 2.2x on the n=13 flagship shape (0.67 -> 0.31 ms per 2^22, quiet
-# host); 8 pairs at LAN=512 regress (register pressure), see
-# tools/exp_small3.py.
-N_ACC = 4
+# had to wait for the previous point's.  Independent pairs break the
+# chains; 8 pairs fit the vreg file at LAN=256 (at LAN=512 they spill
+# and regress) — see tools/exp_small3.py.
+N_ACC = 8
 
 def _fmix(x):
     """murmur3 32-bit finalizer: bijective avalanche mixer (counter PRNG)."""
@@ -362,24 +365,20 @@ def unpack_sample(packed: int) -> np.ndarray:
 
 def issue_slots_per_hyp(n_points: int) -> float:
     """Analytic VPU issue-slot count per hypothesis for the SoL report
-    (``utils.profiling``; FMA counted as 2 slots, matching the measured
-    FMA rate being half the generic op rate on v5e).
+    (``utils.profiling``).
 
-    Derivation (ops on [8, LAN] tiles, per hypothesis element):
-    - score loop (division-deferred, round 3): n x (6 FMA u,v,w
-      = 12 + 2 FMA a,b = 4 + r2 mul+FMA = 3 + w2/t/max = 3 +
-      approx recip = 1 + count cmp/sel/add = 3 + msac min/mul/
-      FMA = 4)                                                   30n
-    - sampling + gather + solve + reduction, MEASURED            ~105
-
-    The non-score term is calibrated from the round-3 stage
-    decomposition (tools/exp_small.py `noscore`: 0.113 ms per 2^22
-    hypotheses), not counted from source: the naive op-by-op count for
-    those stages (~880 with the tree gather and Fisher-Yates shifts)
-    implied 3x the measured VPU ceiling — Mosaic CSEs the shared tree
-    masks, runs index math on the scalar unit, and hides most of that
-    phase's latency, so source-level counting overstates it badly (a
-    round-3 artifact briefly reported 105% issue from exactly that
-    error).  Good to ~+-25%.
+    Round-5 recalibration.  The round-4 audit (105 + 30n, FMA counted
+    as 2 slots) was built against a kernel whose score loop was
+    LATENCY-bound on its serial accumulator chains — the multi-
+    accumulator rewrite (``N_ACC``) dropped the measured time past the
+    old audit's implied ceiling (best observed 0.243 ms per 2^22 at
+    n=13 -> 17.3 B hyp/s -> at most ~343 slots/hyp against the counted
+    495), proving the 2-slot FMA assumption overcounts once the chains
+    no longer stall: with FMA at 1 issue slot the score loop counts
+    20/pt (10 FMA + 10 generic) and the audit becomes ~105 + 20n = 365
+    at n=13 — consistent with the best measured rate at ~94% issue.
+    Good to ~+-30%; single-run numbers through the axon tunnel vary up
+    to 2x run-to-run (see PERF.md round-5 variance note), so only
+    best-of-session rates should be compared against this audit.
     """
-    return 105 + 30 * n_points
+    return 105 + 20 * n_points

@@ -51,8 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ransac_tpu.ops.pallas.gather import tree_gather_many
 
-BLOCK_H = 4096
 SUB = 8
+BLOCK_H = 2048     # LAN 256: N_ACC accumulators + 9 F tiles fit the vreg file
 MAX_POINTS = 16
 N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
 

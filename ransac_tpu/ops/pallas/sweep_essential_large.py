@@ -34,8 +34,8 @@ from ransac_tpu.ops.pallas.sweep_large import (
     MAX_POINTS, UNROLL, WINDOW, _draw_seeds_n, _fmix, _fy_draws,
     _range_reduce, _shuffle_order_hash, _window_bases_hash, _wrap_mod)
 
-BLOCK_H = 4096
 SUB = 8
+BLOCK_H = 2048     # LAN 256: N_ACC accumulators + 9 F tiles fit the vreg file
 N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
 
 # Seed layout: 8 Fisher-Yates draw seeds + [8] window bases + [9] shuffle.

@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_H = 4096
 SUB = 8
+BLOCK_H = 2048     # LAN 256: N_ACC accumulators + 9 H tiles fit the vreg file
 LAN = BLOCK_H // SUB
 MAX_POINTS = 1024  # SMEM point table: N * 5 * 4 B (<= 20 KB)
 N_ACC = 4          # independent accumulator pairs (ops.pallas.sweep)
