@@ -755,7 +755,36 @@ def main(argv=None):
     p.set_defaults(fn=_cmd_profile)
 
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for TPU runs (VERDICT r4 #7).
+
+    Remote (tunnel) compiles of the pipeline's shape buckets cost
+    ~200 s of the 64-frame SLAM demo's ~305 s warm wall time, and the
+    tunnel does NOT cache executables across processes — the standard
+    JAX persistent cache does.  Enabled for TPU backends only: loading
+    cache entries on this jaxlib's CPU backend segfaults
+    (tests/conftest.py note), and CPU compiles are cheap anyway.
+    Override the location with RANSAC_TPU_COMPILE_CACHE (set to ``0``
+    to disable)."""
+    loc = os.environ.get("RANSAC_TPU_COMPILE_CACHE", "")
+    if loc == "0":
+        return
+    import jax
+
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
+        cache_dir = loc or os.path.join(
+            os.path.expanduser("~"), ".cache", "ransac_tpu_xla")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
 
 
 if __name__ == "__main__":

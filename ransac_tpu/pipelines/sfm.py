@@ -125,6 +125,79 @@ def _essential_dispatch(x1, x2, w, cfg, key, use_sweep):
 _tri_dlt_jit = jax.jit(epipolar.triangulate_dlt)
 
 
+@jax.jit
+def _tri_tracks_jit(x1n, x2n, R1, t1, R2, t2, valid, cos_min, gate_n):
+    """Batched PER-TRACK 2-view DLT with on-device gates: every row is
+    its own track with its own pose pair ([T,...] arrays; padded rows
+    carry valid=0).  Returns (X [T,3], ok [T]).
+
+    Round-5 motivation (VERDICT r4 #4): the per-pair-group host loop
+    issued one tunnel dispatch per (g1, g2) group — the TPU demo
+    measured ~20 s PER retriangulation pass (~100 groups x ~0.2 s
+    round-trip) against ~milliseconds of device work.  One batched call
+    replaces all of them."""
+    X = epipolar.triangulate_dlt(
+        x1n[:, None, :], x2n[:, None, :], R1, t1, R2, t2)[:, 0, :]
+
+    def view_ok(R, t, xn):
+        xc = jnp.einsum("tij,tj->ti", R, X) + t
+        z = xc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        pr = xc[:, :2] / zs[:, None]
+        return (z > 0) & (jnp.linalg.norm(pr - xn, axis=1) <= gate_n)
+
+    ok = valid & view_ok(R1, t1, x1n) & view_ok(R2, t2, x2n)
+    C1 = -jnp.einsum("tij,ti->tj", R1, t1)
+    C2 = -jnp.einsum("tij,ti->tj", R2, t2)
+    r1 = X - C1
+    r2 = X - C2
+    den = jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1)
+    cosang = jnp.sum(r1 * r2, axis=1) / jnp.maximum(den, 1e-30)
+    ok = ok & (den > 0) & (cosang <= cos_min)
+    return X, ok
+
+
+def _triangulate_tracks_batched(m, tracks, assign: dict, Kj, gate_n,
+                                min_angle_deg: float = 1.0) -> dict:
+    """Triangulate ``assign = {tid: (g1, g2)}`` in ONE device call (see
+    `_tri_tracks_jit`); returns {tid: X} for gate survivors."""
+    if not assign:
+        return {}
+    tids = sorted(assign)
+    T = _bucket(len(tids))
+    Rs = {}
+    for g1, g2 in assign.values():
+        for g in (g1, g2):
+            if g not in Rs:
+                Rs[g] = _np_rodrigues(m.camera_poses[g][:3])
+    x1 = np.zeros((T, 2), np.float32)
+    x2 = np.zeros((T, 2), np.float32)
+    R1 = np.tile(np.eye(3, dtype=np.float32), (T, 1, 1))
+    R2 = np.tile(np.eye(3, dtype=np.float32), (T, 1, 1))
+    t1 = np.zeros((T, 3), np.float32)
+    t2 = np.zeros((T, 3), np.float32)
+    vmask = np.zeros((T,), bool)
+    for k, tid in enumerate(tids):
+        g1, g2 = assign[tid]
+        x1[k] = tracks[(g1, tid)]
+        x2[k] = tracks[(g2, tid)]
+        R1[k] = Rs[g1]
+        R2[k] = Rs[g2]
+        t1[k] = m.camera_poses[g1][3:]
+        t2[k] = m.camera_poses[g2][3:]
+        vmask[k] = True
+    x1n = proj.normalize_pixels(jnp.asarray(x1), Kj)
+    x2n = proj.normalize_pixels(jnp.asarray(x2), Kj)
+    X, ok = _tri_tracks_jit(
+        x1n, x2n, jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2),
+        jnp.asarray(t2), jnp.asarray(vmask),
+        jnp.float32(np.cos(np.deg2rad(min_angle_deg))),
+        jnp.float32(gate_n))
+    X = np.asarray(X, np.float64)
+    ok = np.asarray(ok)
+    return {tid: X[k] for k, tid in enumerate(tids) if ok[k]}
+
+
 def _np_rodrigues(rvec: np.ndarray) -> np.ndarray:
     """Pure-numpy Rodrigues rotation (mirrors ops.rotation.exp_so3).
 
@@ -271,7 +344,7 @@ def _retriangulate_widest(m, tracks, gate_n, rebuild: bool = False):
     # spatially coincident (see the partner-selection note in
     # incremental_sfm).
     centers = {g: _cam_center(m.camera_poses[g]) for g in frames_reg}
-    by_pair: dict = {}
+    assign: dict = {}
     for t, gs in obs_by_track.items():
         if len(gs) < 2:
             continue
@@ -281,22 +354,20 @@ def _retriangulate_widest(m, tracks, gate_n, rebuild: bool = False):
         i1, i2 = np.unravel_index(int(np.argmax(d2)), d2.shape)
         if d2[i1, i2] <= 0:
             continue
-        g1, g2 = sorted((gs_s[i1], gs_s[i2]))
-        by_pair.setdefault((g1, g2), []).append(t)
+        assign[t] = tuple(sorted((gs_s[i1], gs_s[i2])))
     Kj = jnp.asarray(m.K, jnp.float32)
     n_acc = 0
-    for (g1, g2), tl in by_pair.items():
-        for tr, X in _triangulate_pair_gated(
-                m, tracks, g1, g2, sorted(tl), Kj, gate_n).items():
-            if rebuild or tr not in m.points:
-                m.points[tr] = X
-                n_acc += 1
-                continue
-            gs = obs_by_track[tr]
-            if (_mean_reproj_error(m, tracks, tr, X, gs)
-                    < _mean_reproj_error(m, tracks, tr, m.points[tr], gs)):
-                m.points[tr] = X
-                n_acc += 1
+    for tr, X in _triangulate_tracks_batched(
+            m, tracks, assign, Kj, gate_n).items():
+        if rebuild or tr not in m.points:
+            m.points[tr] = X
+            n_acc += 1
+            continue
+        gs = obs_by_track[tr]
+        if (_mean_reproj_error(m, tracks, tr, X, gs)
+                < _mean_reproj_error(m, tracks, tr, m.points[tr], gs)):
+            m.points[tr] = X
+            n_acc += 1
     if n_acc:
         log.info("retriangulated %d map points (widest-pair, monotone)",
                  n_acc)
@@ -620,7 +691,7 @@ def incremental_sfm(
         cand = set()
         for f in fs:
             cand |= tracks_by_frame.get(f, set())
-        by_pair: dict = {}
+        assign: dict = {}
         for t in cand:
             if t in m.points:
                 continue
@@ -633,14 +704,19 @@ def incremental_sfm(
             i1, i2 = np.unravel_index(int(np.argmax(d2)), d2.shape)
             if d2[i1, i2] <= 0:
                 continue
-            by_pair.setdefault(tuple(sorted((gs[i1], gs[i2]))),
-                               []).append(t)
-        for (g1, g2), tl in by_pair.items():
-            for tr, X in _triangulate_pair_gated(
-                    m, tracks, g1, g2, sorted(tl), Kj, gate_n).items():
-                m.points[tr] = X
+            assign[t] = tuple(sorted((gs[i1], gs[i2])))
+        m.points.update(_triangulate_tracks_batched(
+            m, tracks, assign, Kj, gate_n))
 
     def run_ba(after_f):
+        # NOTE on shape bucketing: padding the BA problem to power-of-2
+        # buckets (fewer unique shapes -> fewer per-window recompiles)
+        # was tried and REVERTED — the dense path's C x P cross tensors
+        # inflate ~2.7x with the padding (measured: warm window BA 2.6
+        # -> 5.5 s on the TPU demo), and the reordered f32 reductions
+        # perturb the accept/reject LM path.  The persistent compile
+        # cache (cli._enable_compile_cache) removes the recompile tax
+        # across processes instead.
         p, frames, track_ids = m.as_ba_problem(tracks)
         res_ba = bundle_adjust(p, ba_cfg)
         m.apply_ba(res_ba, frames, track_ids)

@@ -122,6 +122,43 @@ def time_sapply(name, sp, flat=False, G=None):
     return dt
 
 
+def time_pieces(sp):
+    """Chained timing of the LM iteration's FIXED pieces: linearize
+    (_slot_blocks), cost (slot_cost), and the normal-equation assembly
+    (_assemble_cam_blocks + V/W) — to see where the ~20 ms non-CG part
+    of the 65 ms LM iteration goes."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_rep", "what"))
+    def chain(seed, n_rep, what):
+        def body(_, carry):
+            s, acc = carry
+            cams = sp.cameras * (1.0 + s.astype(jnp.float32) * 1e-9)
+            if what == "cost":
+                c = sc.slot_cost(sp, cams, sp.points, 0.0)
+                return s + 1, acc + c
+            r, Jc, Jp = sc._slot_blocks(sp, cams, sp.points, 0.0)
+            if what == "blocks":
+                return s + 1, acc + r[0, 0, 0]
+            ids = sp.slot_cam.reshape(-1)
+            U, gc = sc._assemble_cam_blocks(Jc, r, ids, C, lambda x: x)
+            V = jnp.stack([jnp.stack([
+                sum(Jp[i][a] * Jp[j][a] for a in range(2)).sum(0)
+                for j in range(3)]) for i in range(3)])
+            W = jnp.moveaxis(jnp.stack([
+                jnp.stack([sum(Jc[i][a] * Jp[j][a] for a in range(2))
+                           for j in range(3)]) for i in range(6)]), 2, 0)
+            return s + 1, acc + U[0, 0, 0] + V[0, 0, 0] + W[0, 0, 0, 0]
+        _, acc = jax.lax.fori_loop(0, n_rep, body,
+                                   (seed, jnp.float32(0.0)))
+        return acc
+
+    for what in ("cost", "blocks", "assemble"):
+        dt = _time_best(lambda k, r: chain(jnp.int32(k), r, what),
+                        reps=3, small=1, large=5)
+        print(f"piece {what:9s} {dt*1e3:7.3f} ms", flush=True)
+
+
 def time_lmiter(sp, cg_iters=16):
     from ransac_tpu.ba.bench import bench_ba_scale
     out = bench_ba_scale(C, P, D, cg_iters)
@@ -144,6 +181,8 @@ if __name__ == "__main__":
             time_sapply(nm, sp, G=16)
         elif nm == "sapply_fG":
             time_sapply(nm, sp, flat=True, G=16)
+        elif nm == "pieces":
+            time_pieces(sp)
         elif nm == "lmiter":
             time_lmiter(sp)
         print(f"  ({time.time()-t0:.0f}s)", flush=True)
