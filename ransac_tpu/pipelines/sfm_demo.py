@@ -388,8 +388,10 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
                  f"cost {float(res.cost):.4g} (~{rms_px:.2f} px RMS)")
     if loop and ate_no_pg is not None:
         verdict = ("committed" if pg_accepted else
-                   "rejected by closure verification — uncorrected "
-                   "result kept")
+                   ("no closure edge accepted — uncorrected result kept"
+                    if n_loop_edges == 0 else
+                    "rejected by closure verification — uncorrected "
+                    "result kept"))
         lines.append(
             f"pose graph ({n_loop_edges} loop edges, {t_pg:.2f} s, "
             f"{verdict}): ATE {ate_no_pg:.4f} -> {ate:.4f} "

@@ -428,3 +428,42 @@ def test_apply_pose_graph_commits_and_improves():
     assert n_loop >= 1, "no closure accepted"
     ate1 = _centers_ate()
     assert ate1 < 0.5 * ate0, (ate0, ate1)
+
+
+def test_reregister_outlier_frames_repairs_broken_pose():
+    """A frame whose pose broke (measured failure mode: early
+    registration against a thin bootstrap seed, unfixable later because
+    the BA gauge pins it) is re-localized by PnP against the map and
+    only kept when it actually lowers that frame's median reprojection
+    error."""
+    from ransac_tpu.pipelines.sfm import (SfmMap, _np_log_so3,
+                                          frame_reproj_errors,
+                                          reregister_outlier_frames)
+
+    rng = np.random.default_rng(5)
+    K = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
+    X = np.stack([rng.uniform(-2, 2, 60), rng.uniform(-2, 2, 60),
+                  rng.uniform(5, 9, 60)], 1)
+    m = SfmMap(K=K)
+    tracks = {}
+    for f in range(6):
+        t = np.array([0.05 * f, 0.0, 0.0])
+        m.camera_poses[f] = np.concatenate([np.zeros(3), -t])
+        pc = X - t
+        uv = (K[:2, :2] @ (pc[:, :2] / pc[:, 2:]).T).T + K[:2, 2]
+        for q in range(60):
+            tracks[(f, q)] = uv[q] + rng.normal(0, 0.2, 2)
+    for q in range(60):
+        m.points[q] = X[q]
+    # Break frame 2: shove it 2 units off.
+    m.camera_poses[2] = m.camera_poses[2] + np.array(
+        [0, 0, 0, 0.7, -0.4, 2.0])
+    errs0 = frame_reproj_errors(m, tracks)
+    assert errs0[2] > 20.0
+    n = reregister_outlier_frames(m, tracks)
+    assert n == 1
+    errs1 = frame_reproj_errors(m, tracks)
+    assert errs1[2] < 1.0, errs1[2]
+    # Healthy frames untouched.
+    for f in (0, 1, 3, 4, 5):
+        assert errs1[f] < 1.0
