@@ -373,6 +373,76 @@ def _retriangulate_widest(m, tracks, gate_n, rebuild: bool = False):
                  n_acc)
 
 
+def reassociate_map_points(m, tracks, keypoints, frames_window,
+                           max_px: float = 3.0, added: list | None = None
+                           ) -> int:
+    """Guided re-association (the ORB-SLAM "track local map" step):
+    project the CURRENT map into each freshly-registered frame and
+    attach unclaimed detected keypoints within ``max_px`` of a
+    projection as new observations of the projected track.
+
+    Round-5 motivation: the consecutive-frame tracker fragments tracks
+    (keypoint dropout under NMS churn), so mid-trajectory frames saw
+    only 9-17 map correspondences against a 500+ point map — starving
+    PnP, shrinking triangulation baselines, and jagging the odometry.
+    Re-association repairs the fragmentation with the map itself.
+
+    ``keypoints = (xy [F, K, 2], valid [F, K])`` from the front end.
+    One-to-one greedy by distance; keypoints already serving an
+    observation in the frame and tracks already observed there are
+    skipped.  Pure numpy (hundreds of points x one pose per frame).
+    Returns the number of observations added."""
+    xy, valid = keypoints
+    if added is None:
+        added = []
+    if not m.points:
+        return 0
+    tids = sorted(m.points)
+    X = np.stack([m.points[t] for t in tids])
+    K = np.asarray(m.K, np.float64)
+    n_added = 0
+    for f in frames_window:
+        if f not in m.camera_poses or f >= len(xy):
+            continue
+        pose = m.camera_poses[f]
+        R = _np_rodrigues(pose[:3])
+        xc = X @ R.T + pose[3:]
+        front = xc[:, 2] > 1e-6
+        uv_p = np.full((len(tids), 2), 1e9)
+        uv_p[front] = (xc[front, :2] / xc[front, 2:]) @ K[:2, :2].T \
+            + K[:2, 2]
+        seen_tids = {t for (g, t) in tracks if g == f}
+        used_uv = {tuple(np.asarray(tracks[(f, t)], np.float64))
+                   for t in seen_tids}
+        kp = np.asarray(xy[f], np.float64)
+        kv = np.asarray(valid[f], bool)
+        free_kp = [k for k in range(len(kp)) if kv[k]
+                   and tuple(kp[k]) not in used_uv]
+        if not free_kp:
+            continue
+        cand_t = [i for i, t in enumerate(tids) if t not in seen_tids
+                  and front[i]]
+        if not cand_t:
+            continue
+        d = np.linalg.norm(kp[free_kp][:, None, :]
+                           - uv_p[cand_t][None, :, :], axis=2)
+        order = np.argsort(d, axis=None)
+        taken_k: set = set()
+        taken_t: set = set()
+        for flat in order:
+            ki, ti = np.unravel_index(flat, d.shape)
+            if d[ki, ti] > max_px:
+                break
+            if ki in taken_k or ti in taken_t:
+                continue
+            taken_k.add(ki)
+            taken_t.add(ti)
+            tracks[(f, tids[cand_t[ti]])] = kp[free_kp[ki]]
+            added.append((f, tids[cand_t[ti]]))
+            n_added += 1
+    return n_added
+
+
 def frame_reproj_errors(m, tracks) -> dict:
     """Median reprojection error (pixels) per registered frame over its
     observations of current map points (host numpy — thousands of obs)."""
@@ -494,6 +564,7 @@ def incremental_sfm(
     checkpoint_dir: str | None = None,
     engine: str | None = None,
     bootstrap_stride: int = 1,
+    keypoints=None,
 ) -> SfmMap:
     """Run incremental reconstruction over ``frame_order``.
 
@@ -758,8 +829,26 @@ def incremental_sfm(
             for f, vis, dev in inflight:
                 _finish_pnp(f, vis, dev)
             n_done += len(inflight)
-            _triangulate_frames([f for f, _, _ in inflight])
-            run_ba(inflight[-1][0])
+            newly = [f for f, _, _ in inflight]
+            _triangulate_frames(newly)
+            run_ba(newly[-1])
+            if keypoints is not None:
+                # Guided re-association AFTER the window's BA: the
+                # window poses and map are polished, so projections are
+                # trustworthy (re-associating BEFORE BA measured a
+                # registration collapse — raw-PnP poses attach wrong
+                # tracks and the corruption cascades).  The added
+                # observations feed the NEXT window's PnP and BA.
+                added: list = []
+                n_re = reassociate_map_points(m, tracks, keypoints,
+                                              newly, max_px=2.0,
+                                              added=added)
+                for (gf, gt) in added:
+                    tracks_by_frame.setdefault(gf, set()).add(gt)
+                    frames_by_track.setdefault(gt, []).append(gf)
+                if n_re:
+                    log.info("re-associated %d map-point observations "
+                             "over %d frames", n_re, len(newly))
             save_ckpt(n_done)
         if len(still) == len(pending):
             break  # no progress: a further pass cannot help

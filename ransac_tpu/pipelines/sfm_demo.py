@@ -248,7 +248,11 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
         ba_every=ba_every, seed=seed,
         # Wide-pair bootstrap: consecutive-frame parallax at this motion
         # is below pixel noise (see incremental_sfm docstring).
-        bootstrap_stride=min(8, frames - 1))
+        bootstrap_stride=min(8, frames - 1),
+        # Guided re-association (round 5): repair tracker fragmentation
+        # by projecting the map into each registered frame — see
+        # sfm.reassociate_map_points.
+        keypoints=(np.asarray(xy), np.asarray(valid)))
     t_sfm = time.perf_counter() - t0
 
     # --- 4. outlier pruning + final matrix-free PCG Schur BA polish
