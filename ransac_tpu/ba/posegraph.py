@@ -140,7 +140,7 @@ def edge_residuals_sim3(g: PoseGraphSim3, poses: jnp.ndarray
 @partial(jax.jit, static_argnames=("max_iters",))
 def optimize_pose_graph_sim3(g: PoseGraphSim3, max_iters: int = 40,
                              damping_init: float = 1e-4,
-                             scale_smooth: float = 0.3):
+                             scale_smooth: float = 1.0):
     """LM over Sim(3) node poses with node 0 pinned (the similarity
     gauge: rotation + translation + global scale).  Returns (poses [V,7],
     cost, iterations).
@@ -155,7 +155,10 @@ def optimize_pose_graph_sim3(g: PoseGraphSim3, max_iters: int = 40,
     0.25..1.85, making the corrected trajectory WORSE).  A smoothness
     prior — unlike an absolute log_s -> 0 prior — still admits large
     ACCUMULATED drift: the compounding 1.03^k unit test pays only
-    (0.3 * ln 1.03)^2 per step and is repaired identically."""
+    (ln 1.03)^2 per step and is repaired identically.  Weight 1.0
+    (round 5): at 0.3 a single noisy closure could still drive node
+    scales to 0.03-0.06 (measured on the circuit demo) — physically
+    absurd against a ~2.7x measured total drift."""
     V = g.poses.shape[0]
     g = g._replace(edge_sw=jnp.maximum(g.edge_sw, scale_smooth))
 

@@ -549,12 +549,62 @@ def apply_pose_graph(m, tracks: dict, K,
              "%.4g (%d iters); node scales %.3f..%.3f", len(frame_list),
              int(g.edge_i.shape[0]), n_loop, float(cost), int(iters),
              float(scales.min()), float(scales.max()))
+    # Physical plausibility gate on the optimized SCALE FIELD: node
+    # scales interpolate the measured closure drifts, so their extremes
+    # must not exceed the largest measured |log rel-scale| by more than
+    # a margin — a wilder field means the optimizer absorbed odometry
+    # noise into scale (measured: a 0.033 node scale against a 1.5x
+    # measured closure, which the slot-retention gate downstream did
+    # NOT catch because the distorted map stays self-consistent).
+    z_logs = np.abs(np.asarray(g.edge_z[:, 6], np.float64))
+    sw = np.asarray(g.edge_sw)
+    max_meas = float(z_logs[sw >= 1.0].max()) if (sw >= 1.0).any() else 0.0
+    if float(np.abs(np.log(scales)).max()) > max_meas + np.log(2.0):
+        log.info("pose graph REJECTED: node scale field %.3f..%.3f "
+                 "exceeds the measured closure drift bound (max |log z| "
+                 "%.3f + ln 2)", float(scales.min()),
+                 float(scales.max()), max_meas)
+        return 0
+    poses_old = {f: np.asarray(m.camera_poses[f], np.float64)
+                 for f in frame_list}
     poses_np = np.asarray(sim3_to_se3(poses_new), np.float64)
+    new7 = np.asarray(poses_new, np.float64)
     for k, f in enumerate(frame_list):
         m.camera_poses[f] = poses_np[k]
+    # Map-point transport (ORB-SLAM CorrectLoop): move every point by
+    # its ANCHOR frame's similarity correction, preserving the point's
+    # camera-frame coordinates up to the node's scale correction —
+    # c_new = c_old / s_anchor under the corrected pose.  This keeps
+    # local map structure exactly (a from-scratch retriangulation
+    # measured as destructive: it discards the BA-polished multi-view
+    # structure and re-derives 2-view depths from whatever pair
+    # survives the correction).
+    from ransac_tpu.pipelines.sfm import _np_rodrigues
+
+    fidx_new = {f: k for k, f in enumerate(frame_list)}
+    anchor: dict = {}
+    for (g, t) in tracks:
+        if t in m.points and g in fidx_new:
+            a = anchor.get(t)
+            if a is None or g < a:
+                anchor[t] = g
+    Rs_new = {f: _np_rodrigues(poses_np[fidx_new[f]][:3])
+              for f in set(anchor.values())}
+    Rs_old = {f: _np_rodrigues(poses_old[f][:3])
+              for f in set(anchor.values())}
+    n_moved = 0
+    for t, f in anchor.items():
+        k = fidx_new[f]
+        s_f = float(np.exp(new7[k, 6]))
+        c_old = Rs_old[f] @ m.points[t] + poses_old[f][3:]
+        # R1 x' + t1/s1 = c_old / s1  ->  x' = R1^T (c_old - t1) / s1
+        m.points[t] = Rs_new[f].T @ (c_old - new7[k, 3:6]) / s_f
+        n_moved += 1
+    log.info("transported %d map points by their anchor-frame Sim(3) "
+             "corrections", n_moved)
     # Loop fusion: the closure matches prove track identities across the
-    # loop; merging them makes the caller's rebuild + global BA close
-    # the loop through reprojection constraints (far stronger than the
-    # measured Sim(3) edges alone).
+    # loop; merging them lets the caller's global BA close the loop
+    # through reprojection constraints (far stronger than the measured
+    # Sim(3) edges alone).
     fuse_tracks(m, tracks, fuse_pairs)
     return n_loop

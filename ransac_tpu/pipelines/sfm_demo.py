@@ -320,17 +320,13 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
             ate_pg_raw = _umeyama_ate(est_pg, t_gt[sorted(m.camera_poses)])
             log.info("raw PGO trajectory ATE: %.4f (was %.4f)",
                      ate_pg_raw, ate_no_pg)
-            # The old points live in the pre-correction drifted frame:
-            # rebuild the map from scratch off the corrected poses
-            # (fused closure tracks now span the loop, so their widest
-            # pair crosses it and the reprojection constraints close it).
-            _retriangulate_widest(
-                m, tracks, 2.0 * 4.0 / float(K[0, 0]), rebuild=True)
-            # Huber-robust smoothing BA BEFORE any pruning: the PGO
-            # distributes closure-measurement noise into local kinks,
-            # and pruning at 8 px against the kinked init throws away
-            # the very observations BA needs to iron them out
-            # (measured: 1805 -> 263 retained obs, gate reject).
+            # Map points were TRANSPORTED by their anchor frames' Sim(3)
+            # corrections inside apply_pose_graph (a from-scratch
+            # retriangulation was measured destructive); the fused loop
+            # tracks' merged observations now cross the junction, so a
+            # Huber-robust smoothing BA BEFORE any pruning can close the
+            # remaining gap (pruning first throws away exactly the
+            # high-residual junction observations BA needs).
             p0, frames_l0, track_ids0 = m.as_ba_problem(tracks)
             res_s = bundle_adjust_cg(
                 from_ba_problem(p0),
