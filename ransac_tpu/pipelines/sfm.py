@@ -853,4 +853,157 @@ def incremental_sfm(
         if len(still) == len(pending):
             break  # no progress: a further pass cannot help
         pending = still
+
+    # ---- frame-by-frame rescue (round 5, registration seed-robustness).
+    # The windowed passes freeze the map for a whole window, so on
+    # trajectories where the frontier outruns the map (panning circuits:
+    # demo seeds 1/2 stalled at 35/23 of 64 frames) a thin frame's
+    # failure cascades — the NEXT frame's correspondences needed the
+    # triangulations the frozen window never made.  This stage only runs
+    # when frames remain unregistered after the windowed passes, so
+    # fully-registering runs (the committed seed-0 loop deliverable) are
+    # bit-identical.  Policy: walk the stall tail one frame at a time —
+    # register, triangulate IMMEDIATELY (the map grows with the
+    # frontier), and gate acceptance on PnP inlier count (a near-floor
+    # fit here is usually a garbage pose that would poison every later
+    # triangulation); BA + guided re-association run every ``win``
+    # rescued frames.  Keyframe-style windowing is the throughput path;
+    # this is the robustness path, and it is dispatch-serial by design.
+    if pending:
+        log.info("rescue pass over %d stalled frames", len(pending))
+    rescued_since_ba: list = []
+
+    def _twoview_continue(f):
+        """Chain frame ``f`` off the best-sharing REGISTERED frame by
+        two-view essential RANSAC when PnP cannot see it (fewer than 6
+        mapped correspondences — the circuit demo's actual stall: a
+        panning frontier whose fresh tracks have no mapped history yet).
+        Monocular scale comes from the median map/two-view depth ratio
+        over the pair's shared MAPPED tracks (>= 3 anchors required);
+        the relative rotation/direction come from the pair's own pixels.
+        This is standard SLAM tracking recovery (a mini-bootstrap
+        continuation), generalizing the reference's sequential two-view
+        chaining (/root/reference/main_v1.py:836-971).  Returns True if
+        ``f`` was registered."""
+        ts_f = tracks_by_frame.get(f, set())
+        best_g, shared = None, ()
+        for g in m.camera_poses:
+            sh = ts_f & tracks_by_frame.get(g, set())
+            if len(sh) > len(shared):
+                best_g, shared = g, sh
+        if best_g is None or len(shared) < 16:
+            return False
+        common = sorted(shared)
+        nb = _bucket(len(common))
+        x1p = _pad_rows(np.stack([tracks[(best_g, t)] for t in common]),
+                        nb)
+        x2p = _pad_rows(np.stack([tracks[(f, t)] for t in common]), nb)
+        wts = jnp.asarray(_pad_rows(np.ones(len(common), np.float32),
+                                    nb))
+        x1 = proj.normalize_pixels(jnp.asarray(x1p, jnp.float32), Kj)
+        x2 = proj.normalize_pixels(jnp.asarray(x2p, jnp.float32), Kj)
+        fx = float(m.K[0, 0])
+        e_cfg = RansacConfig(
+            threshold=(ransac_cfg.threshold / fx) ** 2,
+            num_hypotheses=ransac_cfg.num_hypotheses, exhaustive=False,
+            selection=ransac_cfg.selection)
+        key_box[0], k1 = jax.random.split(key_box[0])
+        inl_mask, R_rel, t_rel, X_rel, _n = _essential_dispatch(
+            x1, x2, wts, e_cfg, k1, engine == "sweep" and nb <= 1024)
+        inl = np.asarray(inl_mask)[:len(common)]
+        if int(inl.sum()) < 16:
+            return False
+        Rg = _np_rodrigues(m.camera_poses[best_g][:3])
+        tg = np.asarray(m.camera_poses[best_g][3:6], np.float64)
+        X_rel = np.asarray(X_rel, np.float64)
+        ratios = []
+        for i, tr in enumerate(common):
+            if inl[i] and tr in m.points and X_rel[i, 2] > 1e-6:
+                d_map = (Rg @ m.points[tr] + tg)[2]
+                if d_map > 1e-6:
+                    ratios.append(d_map / X_rel[i, 2])
+        if len(ratios) >= 3:
+            s = float(np.median(ratios))
+            src = f"{len(ratios)} map anchors"
+        else:
+            # No mapped anchors — the very situation that stalled the
+            # frame (a frontier whose tracks have no mapped history).
+            # Fall back to a MOTION-PRIOR scale: the median inter-frame
+            # baseline of consecutive registered frames.  The resulting
+            # scale seam is a genuine monocular unobservable here (no
+            # co-observations bridge it, else PnP would have worked);
+            # downstream it is exactly what the Sim(3) pose-graph
+            # closure constrains, and registering the tail at prior
+            # scale beats abandoning half the trajectory.
+            regs = sorted(m.camera_poses)
+            steps = [np.linalg.norm(_cam_center(m.camera_poses[a])
+                                    - _cam_center(m.camera_poses[b]))
+                     for a, b in zip(regs, regs[1:]) if b - a == 1]
+            if not steps:
+                return False
+            s = float(np.median(steps))
+            src = "motion prior (no map anchors)"
+        Rr = np.asarray(R_rel, np.float64)
+        tv = np.asarray(t_rel, np.float64)
+        R_f = Rr @ Rg
+        t_f = Rr @ tg + s * tv
+        m.camera_poses[f] = np.concatenate([_np_log_so3(R_f), t_f])
+        log.info("rescue: frame %d chained by two-view from frame %d "
+                 "(%d/%d essential inliers, scale %.3g from %s)",
+                 f, best_g, int(inl.sum()), len(common), s, src)
+        return True
+
+    def _rescue_ba():
+        run_ba(rescued_since_ba[-1])
+        if keypoints is not None:
+            added = []
+            reassociate_map_points(m, tracks, keypoints,
+                                   list(rescued_since_ba), max_px=2.0,
+                                   added=added)
+            for (gf, gt) in added:
+                tracks_by_frame.setdefault(gf, set()).add(gt)
+                frames_by_track.setdefault(gt, []).append(gf)
+        rescued_since_ba.clear()
+        save_ckpt(n_done)
+
+    for pass_i in range(8):
+        if not pending:
+            break
+        still = []
+        for f in pending:
+            d = _dispatch_pnp(f)
+            ok = False
+            if d is not None:
+                vis, dev = d
+                packed = np.asarray(dev, np.float64)
+                n_inl = int(packed[12])
+                # Inlier gate: absolute floor 8, relative 25% against
+                # thin maps — but capped at 20, since 20+ absolute
+                # inliers is a solid pose even when the visible map is
+                # large and partly stale (seed-2 demo: 24/101 is a good
+                # pose the uncapped relative gate rejected).
+                if n_inl >= max(8, min(int(0.25 * len(vis)), 20)):
+                    _finish_pnp(f, vis, dev)
+                    ok = True
+                else:
+                    log.info("rescue: frame %d PnP rejected (%d/%d "
+                             "inliers)", f, n_inl, len(vis))
+            if not ok:
+                ok = _twoview_continue(f)
+            if not ok:
+                still.append(f)
+                continue
+            n_done += 1
+            rescued_since_ba.append(f)
+            _triangulate_frames([f])
+            if len(rescued_since_ba) >= max(1, ba_every):
+                _rescue_ba()
+        if len(still) == len(pending):
+            break
+        pending = still
+    if rescued_since_ba:
+        _rescue_ba()
+    if pending:
+        log.warning("%d frames remain unregistered after rescue: %s",
+                    len(pending), pending[:16])
     return m

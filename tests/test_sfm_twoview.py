@@ -132,6 +132,61 @@ def test_incremental_sfm_ate():
     assert ate < 0.05 * scene_scale, (ate, scene_scale)
 
 
+def test_incremental_sfm_rescue_registers_stalled_tail():
+    """Frame-by-frame rescue pass (round 5, registration robustness):
+    a band-visibility chain — band ``b`` (12 points) visible only from
+    frames ``b..b+2`` — makes every frame's registrability depend on
+    the triangulations of the frame right before it.  The windowed
+    passes (map frozen per window) can only advance ~one frame per
+    pass, so the tail stalls by construction; the rescue stage must
+    walk it to 100% registration (mirrors the circuit demo's seed-1/2
+    stalls, where the frontier outran the frozen-window map)."""
+    rng = np.random.default_rng(3)
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
+    n_frames, per_band = 14, 12
+    tracks = {}
+    poses_true = {}
+    for f in range(n_frames):
+        poses_true[f] = np.concatenate(
+            [np.zeros(3), [-(f * 0.35), 0.0, 0.0]])
+    X_all = []
+    tid = 0
+    for b in range(n_frames - 1):
+        Xb = (rng.uniform(-1, 1, size=(per_band, 3))
+              * np.array([1.5, 1.2, 0.8]) + [b * 0.35 + 0.2, 0, 9.0])
+        for i in range(per_band):
+            for f in range(b, min(b + 3, n_frames)):
+                t = poses_true[f][3:]
+                pix, z = proj.project_points(
+                    jnp.asarray(Xb[i:i + 1]), jnp.eye(3),
+                    jnp.asarray(t), jnp.asarray(K))
+                assert float(z[0]) > 0
+                tracks[(f, tid)] = np.asarray(pix)[0] + rng.normal(
+                    scale=0.05, size=2)
+            X_all.append(Xb[i])
+            tid += 1
+    # ba_every=6 freezes the map over 6-frame windows: without the
+    # rescue stage this chain registers only frames 0-4 (bootstrap +
+    # one frame per windowed pass) — asserted by construction above.
+    m = incremental_sfm(tracks, K, list(range(n_frames)), seed=0,
+                        ba_every=6, engine="stage")
+    assert len(m.camera_poses) == n_frames, sorted(m.camera_poses)
+    # Rescued poses must be real: similarity-aligned ATE on centers.
+    def centers(poses):
+        out = []
+        for f in sorted(poses):
+            p = poses[f]
+            R = np.asarray(exp_so3(jnp.asarray(p[:3], jnp.float32)))
+            out.append(-R.T @ p[3:])
+        return np.array(out)
+
+    C_est = centers(m.camera_poses)
+    C_true = centers(poses_true)
+    s, R, t = umeyama_align(C_est, C_true)
+    ate = np.sqrt(((C_true - (s * C_est @ R.T + t)) ** 2).sum(1).mean())
+    assert ate < 0.10, ate
+
+
 def test_incremental_sfm_checkpoint_resume(tmp_path):
     """Interrupted SfM resumes from the checkpoint instead of recomputing
     (the reference recomputes everything every run, SURVEY.md §5)."""
