@@ -56,6 +56,11 @@ class SfmMap:
     K: np.ndarray
     camera_poses: dict = field(default_factory=dict)   # frame -> [6]
     points: dict = field(default_factory=dict)         # track -> [3]
+    # Frames registered by the frame-by-frame rescue stage (round 5):
+    # callers report trajectory error over the windowed-pass frames and
+    # the rescued tail separately, since rescued sections may sit across
+    # a motion-prior scale seam (see incremental_sfm rescue notes).
+    rescued_frames: set = field(default_factory=set)
 
     def as_ba_problem(self, tracks) -> tuple[BAProblem, list, list]:
         frames = sorted(self.camera_poses)
@@ -994,6 +999,7 @@ def incremental_sfm(
                 still.append(f)
                 continue
             n_done += 1
+            m.rescued_frames.add(f)
             rescued_since_ba.append(f)
             _triangulate_frames([f])
             if len(rescued_since_ba) >= max(1, ba_every):

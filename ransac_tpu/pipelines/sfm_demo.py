@@ -378,6 +378,22 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
     lines.append(f"incremental SfM: {n_reg}/{frames} frames registered in "
                  f"{t_sfm:.2f} s ({n_reg / max(t_sfm, 1e-9):.1f} frames/s, "
                  f"BA every {ba_every})")
+    ate_core = None
+    if m.rescued_frames:
+        # The rescue stage registered a stalled tail (possibly across a
+        # motion-prior scale seam) — report the windowed-pass frames'
+        # ATE separately so coverage gains don't mask (or get blamed
+        # for) tail error; the headline ATE below is over ALL frames.
+        core = sorted(set(m.camera_poses) - m.rescued_frames)
+        if len(core) >= 3:
+            ate_core = _umeyama_ate(
+                _cam_centers({f: m.camera_poses[f] for f in core}),
+                t_gt[core])
+        lines.append(
+            f"  rescue stage registered {len(m.rescued_frames)} stalled "
+            f"frames (two-view continuation); windowed-pass subset ATE "
+            f"{ate_core if ate_core is not None else float('nan'):.4f} "
+            f"over {len(core)} frames")
     n_slots = int(np.sum(np.asarray(sp.slot_w) > 0))
     # slot_cost returns 0.5 * sum(du^2 + dv^2), so per-observation RMS
     # pixel error is sqrt(2 * cost / n_obs) (ADVICE r3).
@@ -410,6 +426,7 @@ def run_demo(frames: int = 64, seed: int = 0, device_counts=None,
         "observations": n_obs, "frontend": rows, "t_tracks_s": t_tracks,
         "t_sfm_s": t_sfm, "t_ba_s": t_ba, "ba_cost": float(res.cost),
         "ate": ate, "ate_frac": ate / max(baseline, 1e-9),
+        "rescued": len(m.rescued_frames), "ate_core": ate_core,
         "ate_no_posegraph": ate_no_pg, "loop_edges": n_loop_edges,
         "posegraph_committed": pg_accepted if loop else None,
         "platform": platform, "report": report,
