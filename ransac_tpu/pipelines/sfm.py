@@ -940,13 +940,18 @@ def incremental_sfm(
             # downstream it is exactly what the Sim(3) pose-graph
             # closure constrains, and registering the tail at prior
             # scale beats abandoning half the trajectory.
-            regs = sorted(m.camera_poses)
+            # LOCAL median: the trajectory's map-unit scale drifts, so
+            # the global median step can sit several-x off the scale
+            # around the partner frame (measured 0.61 global vs
+            # 0.056-0.12 local on the seed-1 circuit); use the last 8
+            # consecutive steps at or before the partner.
+            regs = sorted(g for g in m.camera_poses if g <= best_g)
             steps = [np.linalg.norm(_cam_center(m.camera_poses[a])
                                     - _cam_center(m.camera_poses[b]))
-                     for a, b in zip(regs, regs[1:]) if b - a == 1]
+                     for a, b in zip(regs, regs[1:]) if b - a == 1][-8:]
             if not steps:
                 return False
-            s = float(np.median(steps))
+            s = float(np.median(steps)) * max(1, abs(f - best_g))
             src = "motion prior (no map anchors)"
         Rr = np.asarray(R_rel, np.float64)
         tv = np.asarray(t_rel, np.float64)
